@@ -1,0 +1,291 @@
+"""Index build pipeline — the Spark-native rebuild of ``galago build``.
+
+Reference DAG (``core/.../tools/apps/BuildIndex.java:641-788``): parse ->
+tokenize -> number -> fan-out extractors -> external sort -> single-threaded
+part writers. Here the whole TupleFlow layer collapses into one declarative
+DataFrame plan: Catalyst handles the sorts (shuffle), partial aggregation
+(the Reducer), and column pruning; the writers become parquet tables sorted
+so that min/max statistics give B-tree-like key-ordered seek.
+
+Index layout (one directory = one index, the analog of DiskIndex's part
+files, ``core/.../index/disk/DiskIndex.java:33-54``)::
+
+    index_dir/
+      names/       (doc, repo, path, commit, lang, sha256)      [names + reverse]
+      lengths/     (doc, length)                                 [lengths part]
+      postings/    (term, doc, tf, positions)   term-range sorted [postings part]
+      termstats/   (term, df, cf, max_tf)                        [per-key stats]
+      stats/       single row: CL, N, avgdl, vocab, max/min len  [field stats]
+      blocks/      packed layer (built by index.packed)          [skip blocks]
+      manifest.json  build params + per-part lineage (resume)
+
+Scale notes (designed for 10^12 docs / 1000 executors, tested on local[32]):
+
+- Doc numbering is a *distributed* dense rank: range-repartition by the
+  sort key, count per partition (tiny driver-side cumsum), then
+  offset + within-partition row_number. No global single-partition window.
+- ``groupBy(term, doc)`` and ``groupBy(term)`` rely on Catalyst's partial
+  (map-side) aggregation, which already neutralizes head-term skew for
+  counting; explicit range-salting is applied only where no partial agg
+  exists (packed block assembly, see index/packed.py).
+- The postings table is written range-partitioned and sorted by
+  ``(term, doc)`` so parquet row-group min/max stats prune term lookups
+  (the analog of Galago's B-tree key seek + skip lists,
+  ``PositionIndexWriter.java:360-386``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from galago_git_spark.functions.tokenize import tokenize_col, tokenize_pandas
+from galago_git_spark.query.scoring import CollectionStats, TermStats
+
+PARTS = ("names", "lengths", "postings", "termstats", "stats")
+
+
+def assign_doc_ids(
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic dense doc ids: global rank over ``key_cols``.
+
+    The analog of Galago's SequentialDocumentNumberer
+    (``core/.../parse/SequentialDocumentNumberer.java``) but distributed:
+    range-repartition on the key, then ``doc = partition_offset +
+    within-partition rank``. The offsets pass collects one count per
+    partition (P rows) — O(P) driver work, no global window, so the same
+    ids come out at any cluster size (the north-rule requirement).
+    """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    keyed = (
+        docs.repartitionByRange(num_partitions, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = (
+        keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    cnt_by_pid = {r["_pid"]: r["cnt"] for r in counts}
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(cnt_by_pid):
+        offsets[pid] = running
+        running += cnt_by_pid[pid]
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    out = (
+        keyed.join(offsets_df, "_pid")
+        .withColumn("doc", F.col("_offset") + F.row_number().over(w) - 1)
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def tokenized_docs(docs_with_ids: DataFrame, tokenizer: str = "native") -> DataFrame:
+    """Add a ``terms array<string>`` column. ``native`` stays in
+    whole-stage codegen; ``pandas`` exercises the Arrow-vectorized UDF
+    path (identical output — asserted in tests)."""
+    if tokenizer == "native":
+        terms = tokenize_col(F.col("content"))
+    elif tokenizer == "pandas":
+        terms = tokenize_pandas(F.col("content"))
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    return docs_with_ids.withColumn("terms", terms)
+
+
+def build_index(
+    docs: DataFrame,
+    index_dir: str,
+    tokenizer: str = "native",
+    positions: bool = True,
+    num_term_partitions: int | None = None,
+    resume: bool = False,
+) -> dict:
+    """Build all relational index parts under ``index_dir``.
+
+    Returns the manifest dict (build params, per-part lineage rows, wall
+    times). With ``resume=True``, parts already recorded in the manifest
+    with a parquet ``_SUCCESS`` marker are skipped — the analog of
+    TupleFlow's CheckpointedStageExecutor
+    (``tupleflow/.../execution/CheckpointedStageExecutor.java``).
+    """
+    spark = docs.sparkSession
+    if num_term_partitions is None:
+        num_term_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    os.makedirs(index_dir, exist_ok=True)
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    manifest: dict = {"params": {"tokenizer": tokenizer, "positions": positions}, "parts": {}}
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+
+    def done(part: str) -> bool:
+        return (
+            resume
+            and part in manifest["parts"]
+            and os.path.exists(os.path.join(index_dir, part, "_SUCCESS"))
+        )
+
+    def record(part: str, path: str, t0: float, rows: int | None = None) -> None:
+        manifest["parts"][part] = {
+            "path": path,
+            "seconds": round(time.time() - t0, 3),
+            "rows": rows,
+        }
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    numbered = assign_doc_ids(docs)
+    toks = tokenized_docs(numbered, tokenizer).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # names part (+ reverse map: one table serves both directions in Spark)
+    names_path = os.path.join(index_dir, "names")
+    if not done("names"):
+        t0 = time.time()
+        (
+            toks.select(
+                "doc", "repo", "path", "commit", "lang",
+                F.sha2(F.col("content"), 256).alias("sha256"),
+            )
+            .repartitionByRange(num_term_partitions, "doc")
+            .sortWithinPartitions("doc")
+            .write.mode("overwrite")
+            .parquet(names_path)
+        )
+        record("names", names_path, t0)
+
+    # lengths part (field statistics source — DiskLengthsWriter analog)
+    lengths_path = os.path.join(index_dir, "lengths")
+    if not done("lengths"):
+        t0 = time.time()
+        (
+            toks.select("doc", F.size("terms").alias("length"))
+            .repartitionByRange(num_term_partitions, "doc")
+            .sortWithinPartitions("doc")
+            .write.mode("overwrite")
+            .parquet(lengths_path)
+        )
+        record("lengths", lengths_path, t0)
+
+    # postings part: (term, doc, tf[, positions]); 1-based positions
+    postings_path = os.path.join(index_dir, "postings")
+    token_rows = toks.select(
+        "doc", F.posexplode("terms").alias("pos0", "term")
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    if not done("postings"):
+        t0 = time.time()
+        aggs = [F.count(F.lit(1)).alias("tf")]
+        if positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        postings = (
+            token_rows.groupBy("term", "doc")
+            .agg(*aggs)
+            .repartitionByRange(num_term_partitions, "term", "doc")
+            .sortWithinPartitions("term", "doc")
+        )
+        postings.write.mode("overwrite").parquet(postings_path)
+        record("postings", postings_path, t0)
+
+    # per-term statistics (NodeStatistics: df, cf, maximumCount)
+    termstats_path = os.path.join(index_dir, "termstats")
+    if not done("termstats"):
+        t0 = time.time()
+        (
+            spark.read.parquet(postings_path)
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("cf"),
+                F.max("tf").alias("max_tf"),
+            )
+            .repartitionByRange(max(1, num_term_partitions // 4), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(termstats_path)
+        )
+        record("termstats", termstats_path, t0)
+
+    # global field statistics — single tiny row (FieldStatistics analog);
+    # CL/N derive from the lengths part (this is what makes scores
+    # rank-identical to the reference, see query/scoring.py docstring).
+    stats_path = os.path.join(index_dir, "stats")
+    if not done("stats"):
+        t0 = time.time()
+        lengths_df = spark.read.parquet(lengths_path)
+        vocab = spark.read.parquet(termstats_path).count()
+        (
+            lengths_df.agg(
+                F.sum("length").alias("collection_length"),
+                F.count(F.lit(1)).alias("document_count"),
+                F.avg("length").alias("avg_doc_length"),
+                F.max("length").alias("max_length"),
+                F.min("length").alias("min_length"),
+                F.count(F.when(F.col("length") > 0, 1)).alias("non_zero_len_doc_count"),
+            )
+            .withColumn("vocab_count", F.lit(vocab))
+            .write.mode("overwrite")
+            .parquet(stats_path)
+        )
+        record("stats", stats_path, t0)
+
+    toks.unpersist()
+    return manifest
+
+
+@dataclass
+class Index:
+    """Open index handle — the analog of DiskIndex + LocalRetrieval's
+    cached statistics (``LocalRetrieval.java:61-88``)."""
+
+    spark: SparkSession
+    index_dir: str
+    postings: DataFrame
+    lengths: DataFrame
+    names: DataFrame
+    termstats: DataFrame
+    collection_stats: CollectionStats
+
+    _termstats_cache: dict | None = None
+
+    def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
+        """Stats lookup for query terms — a pruned scan of the small
+        termstats table, collected to the driver (the analog of
+        AnnotateCollectionStatistics pinning stats onto scorer nodes)."""
+        rows = self.termstats.filter(F.col("term").isin(terms)).collect()
+        return {
+            r["term"]: TermStats(r["term"], r["df"], r["cf"], r["max_tf"])
+            for r in rows
+        }
+
+
+def open_index(spark: SparkSession, index_dir: str) -> Index:
+    stats_row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+    return Index(
+        spark=spark,
+        index_dir=index_dir,
+        postings=spark.read.parquet(os.path.join(index_dir, "postings")),
+        lengths=spark.read.parquet(os.path.join(index_dir, "lengths")),
+        names=spark.read.parquet(os.path.join(index_dir, "names")),
+        termstats=spark.read.parquet(os.path.join(index_dir, "termstats")),
+        collection_stats=CollectionStats(
+            collection_length=stats_row["collection_length"],
+            document_count=stats_row["document_count"],
+        ),
+    )

@@ -1,0 +1,478 @@
+"""Relational query executor — compiles a transformed query ``Node`` tree
+into one declarative DataFrame plan.
+
+This is the engine's RankedDocumentModel
+(``core/.../processing/RankedDocumentModel.java:44-61``) re-expressed
+Spark-first: instead of a document-at-a-time iterator tree, the plan is
+
+    postings scan (term-pruned)  ->  join lengths  ->  per-term score
+    columns  ->  groupBy(doc) weighted sum  ->  orderBy(score desc, doc
+    asc) limit k  (Spark executes TakeOrderedAndProject — a distributed
+    top-k heap, the analog of FixedSizeMinHeap)
+
+Count-typed operators (#od/#uw/#syn/#mincount/#countsum) compose as
+DataFrames of virtual postings ``(doc, tf, positions)`` — the same
+iterator-type lattice as the reference (ExtentIterator < CountIterator),
+with doc-alignment joins playing the role of ConjunctionIterator's
+sort-merge ``syncTo`` (``ConjunctionIterator.java:1-133``).
+
+Two physical paths, identical results (tested):
+
+- *flat fast path*: every scorer wraps a plain term — one postings scan
+  filtered by all query terms at once, per-term constants folded into a
+  literal CASE map, single aggregation. This is the headline-query path.
+- *general path*: arbitrary trees — candidate union + one left join per
+  scorer child.
+
+Statistics annotation (AnnotateCollectionStatistics.java:59-147) happens
+here: term stats come from the termstats table (driver-side pruned
+lookup, broadcast as literals); complex count nodes aggregate their own
+virtual postings (NodeAggregateIterator analog).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from galago_git_spark.functions.tokenize import tokenize_col
+from galago_git_spark.functions.windows import (
+    ordered_window_extents,
+    positions_to_extents,
+    unordered_window_extents,
+)
+from galago_git_spark.index.build import Index
+from galago_git_spark.query.nodes import Node
+from galago_git_spark.query.parser import parse
+from galago_git_spark.query.scoring import (
+    BM25_B,
+    BM25_K,
+    DIRICHLET_MU,
+    JM_LAMBDA,
+    CollectionStats,
+    TermStats,
+    bm25_col,
+    bm25_idf,
+    dirichlet_col,
+    jm_col,
+    normalize_weights,
+)
+from galago_git_spark.query.traversals import transform
+
+_COUNT_SCHEMA = "doc long, tf long, positions array<int>"
+
+
+def inline_index(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> Index:
+    """Build an in-memory (lazy, no disk) index view over any table with a
+    document id and a text column — used for oracle-checked queries over
+    the driver's ``documents`` table and for tests. Same plan shapes as
+    the on-disk index, minus persistence."""
+    base = docs.select(
+        F.col(doc_col).cast("long").alias("doc"),
+        tokenize_col(F.col(text_col)).alias("terms"),
+    )
+    tokens = base.select(
+        "doc", F.posexplode("terms").alias("pos0", "term")
+    ).withColumn("pos", F.col("pos0") + 1)
+    postings = tokens.groupBy("term", "doc").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    lengths = base.select("doc", F.size("terms").alias("length"))
+    termstats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").alias("max_tf"),
+    )
+    agg = lengths.agg(
+        F.sum("length").alias("cl"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    names = docs.select(F.col(doc_col).cast("long").alias("doc"))
+    return Index(
+        spark=docs.sparkSession,
+        index_dir="<inline>",
+        postings=postings,
+        lengths=lengths,
+        names=names,
+        termstats=termstats,
+        collection_stats=CollectionStats(int(agg["cl"]), int(agg["n"])),
+    )
+
+
+# --------------------------------------------------------------------------
+# count-plane compilation: Node -> DataFrame(doc, tf, positions)
+# --------------------------------------------------------------------------
+
+def compile_count(node: Node, index: Index) -> DataFrame:
+    op = node.operator
+    if op in ("counts", "extents", "text"):
+        term = str(node.default_param)
+        return index.postings.filter(F.col("term") == term).select(
+            "doc", "tf", "positions"
+        )
+    if op == "null":
+        return index.spark.createDataFrame([], _COUNT_SCHEMA)
+    if op in ("ordered", "unordered"):
+        width = int(node.get_int("default", 1 if op == "ordered" else -1))
+        return _window_frame(node, index, op, width)
+    if op == "synonym":
+        frames = [compile_count(c, index) for c in node.children]
+        return (
+            reduce(DataFrame.unionByName, frames)
+            .groupBy("doc")
+            .agg(
+                F.sum("tf").alias("tf"),
+                F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                    "positions"
+                ),
+            )
+        )
+    if op == "mincount":
+        frames = [compile_count(c, index) for c in node.children]
+        joined = frames[0].select("doc", F.col("tf").alias("tf_0"))
+        for i, f in enumerate(frames[1:], 1):
+            joined = joined.join(
+                f.select("doc", F.col("tf").alias(f"tf_{i}")), "doc", "inner"
+            )
+        tf = F.least(*[F.col(f"tf_{i}") for i in range(len(frames))])
+        return joined.select(
+            "doc", tf.alias("tf"), F.lit(None).cast("array<int>").alias("positions")
+        )
+    if op == "countsum":
+        frames = [
+            compile_count(c, index).select("doc", "tf") for c in node.children
+        ]
+        return (
+            reduce(DataFrame.unionByName, frames)
+            .groupBy("doc")
+            .agg(F.sum("tf").alias("tf"))
+            .withColumn("positions", F.lit(None).cast("array<int>"))
+        )
+    if op == "require":
+        ind = compile_indicator(node.children[0], index)
+        return compile_count(node.children[1], index).join(
+            ind.select("doc"), "doc", "left_semi"
+        )
+    if op == "reject":
+        ind = compile_indicator(node.children[0], index)
+        return compile_count(node.children[1], index).join(
+            ind.select("doc"), "doc", "left_anti"
+        )
+    raise ValueError(f"unsupported count operator: #{op}")
+
+
+def _window_frame(node: Node, index: Index, op: str, width: int) -> DataFrame:
+    """#od / #uw via doc-aligned inner joins of children's position arrays
+    plus a per-doc exact match loop in an Arrow-batched UDF."""
+    frames = [compile_count(c, index) for c in node.children]
+    joined = frames[0].select("doc", F.col("positions").alias("pos_0"))
+    for i, f in enumerate(frames[1:], 1):
+        joined = joined.join(
+            f.select("doc", F.col("positions").alias(f"pos_{i}")), "doc", "inner"
+        )
+    n = len(frames)
+    match_fn = (
+        ordered_window_extents if op == "ordered" else unordered_window_extents
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def window_begins(*cols: pd.Series) -> pd.Series:
+        out = []
+        for row in zip(*cols):
+            exts = match_fn(
+                [positions_to_extents(list(p)) for p in row], width
+            )
+            out.append([b for b, _ in exts])
+        return pd.Series(out)
+
+    pos_cols = [F.col(f"pos_{i}") for i in range(n)]
+    return (
+        joined.withColumn("positions", window_begins(*pos_cols))
+        .withColumn("tf", F.size("positions").cast("long"))
+        .filter(F.col("tf") > 0)
+        .select("doc", "tf", "positions")
+    )
+
+
+# --------------------------------------------------------------------------
+# indicator plane: Node -> DataFrame(doc)
+# --------------------------------------------------------------------------
+
+def compile_indicator(node: Node, index: Index) -> DataFrame:
+    op = node.operator
+    if op == "all":
+        frames = [compile_indicator(c, index) for c in node.children]
+        return reduce(lambda a, b: a.join(b, "doc", "left_semi"), frames)
+    if op == "any":
+        frames = [compile_indicator(c, index) for c in node.children]
+        return reduce(DataFrame.unionByName, frames).distinct()
+    if op == "not":
+        child = compile_indicator(node.children[0], index)
+        return index.lengths.select("doc").join(child, "doc", "left_anti")
+    # a count node used as an indicator: on iff tf > 0
+    return compile_count(node, index).select("doc").distinct()
+
+
+# --------------------------------------------------------------------------
+# statistics annotation
+# --------------------------------------------------------------------------
+
+def node_stats(node: Node, index: Index) -> TermStats:
+    """NodeStatistics for a count node: leaf -> termstats lookup; complex
+    node -> aggregate its virtual postings (NodeAggregateIterator)."""
+    if node.operator in ("counts", "extents", "text"):
+        term = str(node.default_param)
+        found = index.term_stats([term])
+        return found.get(term, TermStats(term, 0, 0, 0))
+    frame = compile_count(node, index)
+    row = frame.agg(
+        F.count(F.lit(1)).alias("df"),
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("cf"),
+        F.coalesce(F.max("tf"), F.lit(0)).alias("max_tf"),
+    ).collect()[0]
+    return TermStats(str(node), int(row["df"]), int(row["cf"]), int(row["max_tf"]))
+
+
+# --------------------------------------------------------------------------
+# score plane
+# --------------------------------------------------------------------------
+
+def _scorer_column(
+    node: Node, tf: Column, length: Column, ts: TermStats, cs: CollectionStats
+) -> Column:
+    op = node.operator
+    if op == "bm25":
+        b = node.get_float("b", BM25_B)
+        k = node.get_float("k", BM25_K)
+        idf = bm25_idf(cs.document_count, ts.df)
+        return bm25_col(tf, length, idf, cs.avg_doc_length, b, k)
+    if op == "dirichlet":
+        mu = node.get_float("mu", DIRICHLET_MU)
+        bg = (ts.cf if ts.cf > 0 else 0.5) / cs.collection_length
+        return dirichlet_col(tf, length, bg, mu)
+    if op == "jm":
+        lam = node.get_float("lambda", JM_LAMBDA)
+        bg = (ts.cf if ts.cf > 0 else 0.5) / cs.collection_length
+        return jm_col(tf, length, bg, lam)
+    if op == "logcount":
+        return F.log(tf)
+    raise ValueError(f"unsupported scorer: #{op}")
+
+
+def _is_scorer(node: Node) -> bool:
+    return node.operator in ("bm25", "dirichlet", "jm", "logcount")
+
+
+def _is_flat_term_scorer(node: Node) -> bool:
+    return (
+        _is_scorer(node)
+        and len(node.children) == 1
+        and node.children[0].operator in ("counts", "extents", "text")
+        and not node.children[0].children
+    )
+
+
+def execute(
+    query: str | Node,
+    index: Index,
+    k: int = 10,
+    default_scorer: str = "dirichlet",
+    with_names: bool = False,
+) -> DataFrame:
+    """Parse (if needed), transform, compile, and run a ranked query.
+
+    Returns ``(doc, score, rank)`` — score desc, then ascending doc
+    (ScoredDocument.java:41-52 tie-break) — limited to k.
+    """
+    if isinstance(query, str):
+        node = parse(query)
+    else:
+        node = query
+    node = transform(node)
+    if _is_scorer(node):
+        node = Node("combine", {}, [node])
+    if node.operator == "combine":
+        scored = _execute_combine(node, index, default_scorer)
+    elif node.operator == "wsum":
+        scored = _execute_wsum(node, index)
+    else:
+        # bare count node: implicit default scorer over it
+        node = Node("combine", {}, [Node(default_scorer, {}, [node])])
+        scored = _execute_combine(node, index, default_scorer)
+    out = (
+        scored.orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+            ),
+        )
+    )
+    if with_names:
+        out = out.join(index.names, "doc", "left")
+    return out
+
+
+def _execute_combine(node: Node, index: Index, default_scorer: str) -> DataFrame:
+    weights = normalize_weights(
+        node.indexed_weights(), node.get_bool("norm", True)
+    )
+    children = node.children
+    # wrap any stray count children (defensive; traversal normally did it)
+    children = [
+        c if _is_scorer(c) else Node(default_scorer, {}, [c]) for c in children
+    ]
+    if _flat_eligible(children):
+        return _combine_flat(children, weights, index)
+    return _combine_general(children, weights, index)
+
+
+def _flat_eligible(children: list[Node]) -> bool:
+    """Flat fast path requires: every child a scorer over a bare term, all
+    terms distinct (the CASE map keys on term), and a single mu across any
+    dirichlet scorers (the length term folds into one constant)."""
+    if not all(_is_flat_term_scorer(c) for c in children):
+        return False
+    terms = [str(c.children[0].default_param) for c in children]
+    if len(set(terms)) != len(terms):
+        return False
+    mus = {
+        c.get_float("mu", DIRICHLET_MU)
+        for c in children
+        if c.operator == "dirichlet"
+    }
+    return len(mus) <= 1
+
+
+def _combine_flat(
+    scorers: list[Node], weights: list[float], index: Index
+) -> DataFrame:
+    """Fast path: one pruned postings scan + single aggregation.
+
+    Handles absent-term background mass (Dirichlet/JM score tf=0) by the
+    separable rewrite: per-doc score = sum over present terms of
+    (score(tf) - score(0)) + sum over all terms of score(0), where the
+    second sum depends only on doc length and per-query constants.
+    """
+    cs = index.collection_stats
+    terms = [str(s.children[0].default_param) for s in scorers]
+    stats = index.term_stats(terms)
+
+    contrib_cases = []  # per-present-term delta columns keyed by term
+    const_logbg = 0.0  # sum_t w_t * score_t(tf=0) parts independent of len
+    len_coeff = 0.0  # coefficient of the per-doc length-dependent term
+    tf, length = F.col("tf"), F.col("length")
+    any_dirichlet = False
+
+    for w, s in zip(weights, scorers):
+        term = str(s.children[0].default_param)
+        ts = stats.get(term, TermStats(term, 0, 0, 0))
+        op = s.operator
+        if op == "bm25":
+            b = s.get_float("b", BM25_B)
+            kk = s.get_float("k", BM25_K)
+            idf = bm25_idf(cs.document_count, ts.df)
+            delta = bm25_col(tf, length, idf, cs.avg_doc_length, b, kk)
+        elif op == "dirichlet":
+            mu = s.get_float("mu", DIRICHLET_MU)
+            bg = (ts.cf if ts.cf > 0 else 0.5) / cs.collection_length
+            # score = ln(tf + mu*bg) - ln(len + mu); delta = ln((tf+mu*bg)/(mu*bg))
+            delta = F.log((tf + F.lit(mu * bg)) / F.lit(mu * bg))
+            const_logbg += w * math.log(mu * bg)
+            len_coeff += w  # each dirichlet contributes -w*ln(len+mu)
+            any_dirichlet = True
+            mu_used = mu
+        elif op == "jm":
+            lam = s.get_float("lambda", JM_LAMBDA)
+            bg = (ts.cf if ts.cf > 0 else 0.5) / cs.collection_length
+            delta = F.log(
+                F.lit(lam) * tf / length + F.lit((1 - lam) * bg)
+            ) - F.lit(math.log((1 - lam) * bg))
+            const_logbg += w * math.log((1 - lam) * bg)
+        else:
+            raise ValueError(f"flat path cannot handle #{op}")
+        contrib_cases.append((term, F.lit(w) * delta))
+
+    contrib = None
+    for term, expr in contrib_cases:
+        case = F.when(F.col("term") == term, expr)
+        contrib = case if contrib is None else contrib.when(
+            F.col("term") == term, expr
+        )
+
+    matched = (
+        index.postings.filter(F.col("term").isin(terms))
+        .select("term", "doc", "tf")
+        .join(index.lengths, "doc")
+        .withColumn("contrib", contrib)
+    )
+    per_doc = matched.groupBy("doc").agg(
+        F.sum("contrib").alias("delta_sum"), F.first("length").alias("length")
+    )
+    score = F.col("delta_sum") + F.lit(const_logbg)
+    if any_dirichlet:
+        # all-dirichlet case: mu may vary per scorer; handle uniform mu here,
+        # mixed-mu falls back to the general path upstream if ever needed.
+        score = score - F.lit(len_coeff) * F.log(F.col("length") + F.lit(mu_used))
+    return per_doc.select("doc", score.alias("score"))
+
+
+def _combine_general(
+    scorers: list[Node], weights: list[float], index: Index
+) -> DataFrame:
+    cs = index.collection_stats
+    frames = [compile_count(s.children[0], index) for s in scorers]
+    stats = [node_stats(s.children[0], index) for s in scorers]
+    candidates = (
+        reduce(DataFrame.unionByName, [f.select("doc") for f in frames])
+        .distinct()
+        .join(index.lengths, "doc", "inner")
+    )
+    cur = candidates
+    exprs = []
+    for i, (w, s, f, ts) in enumerate(zip(weights, scorers, frames, stats)):
+        cur = cur.join(
+            f.select("doc", F.col("tf").alias(f"tf_{i}")), "doc", "left"
+        )
+        tf_i = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+        exprs.append(F.lit(w) * _scorer_column(s, tf_i, F.col("length"), ts, cs))
+    score = reduce(lambda a, b: a + b, exprs)
+    return cur.select("doc", score.alias("score"))
+
+
+def _execute_wsum(node: Node, index: Index) -> DataFrame:
+    """#wsum — log-space probability mixture: log(sum w_i * exp(s_i))
+    (WeightedSumIterator.java:57-63). Built on the general combine frame
+    with per-child score columns."""
+    weights = normalize_weights(node.indexed_weights(), node.get_bool("norm", True))
+    scorers = [
+        c if _is_scorer(c) else Node("dirichlet", {}, [c]) for c in node.children
+    ]
+    cs = index.collection_stats
+    frames = [compile_count(s.children[0], index) for s in scorers]
+    stats = [node_stats(s.children[0], index) for s in scorers]
+    candidates = (
+        reduce(DataFrame.unionByName, [f.select("doc") for f in frames])
+        .distinct()
+        .join(index.lengths, "doc", "inner")
+    )
+    cur = candidates
+    score_cols = []
+    for i, (w, s, f, ts) in enumerate(zip(weights, scorers, frames, stats)):
+        cur = cur.join(
+            f.select("doc", F.col("tf").alias(f"tf_{i}")), "doc", "left"
+        )
+        tf_i = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+        score_cols.append(
+            F.lit(w) * F.exp(_scorer_column(s, tf_i, F.col("length"), ts, cs))
+        )
+    total = reduce(lambda a, b: a + b, score_cols)
+    return cur.select("doc", F.log(total).alias("score"))

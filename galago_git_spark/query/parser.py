@@ -1,0 +1,112 @@
+"""Galago structured-query parser.
+
+Grammar (``core/.../retrieval/query/StructuredQuery.java:13-21,75-99``,
+lexer ``StructuredLexer.java:77-126``)::
+
+    query    := item+                      (multiple top-level -> #root)
+    item     := '#' op params? '(' item* ')' | quoted | bare
+    params   := (':' key '=' value | ':' value)*   (bare ':v' -> default)
+    quoted   := '"' term+ '"'              -> #od:1(terms)   (#quote)
+    bare     := term | term '.' field      (field restriction -> #inside)
+
+Values with '=' become key=value parameters; a bare ':v' sets the default
+parameter (e.g. ``#od:2``). Escapes via ``@/.../`` delimiters are not
+supported (not needed for the reference query set).
+"""
+
+from __future__ import annotations
+
+import re
+
+from galago_git_spark.query.nodes import Node, Scalar, term_node
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<quoted>"[^"]*") |
+    (?P<op>\#[\w-]+(?::[^\s()#":]+)*) |
+    (?P<term>[^\s()#"]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _parse_scalar(s: str) -> Scalar:
+    if s.lower() in ("true", "false"):
+        return s.lower() == "true"
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s
+
+
+def _parse_op(tok: str) -> Node:
+    body = tok[1:]
+    parts = body.split(":")
+    op = parts[0]
+    params: dict[str, Scalar] = {}
+    for p in parts[1:]:
+        if "=" in p:
+            k, v = p.split("=", 1)
+            params[k] = _parse_scalar(v)
+        else:
+            params["default"] = _parse_scalar(p)
+    return Node(op, params)
+
+
+def _term_or_field(tok: str) -> Node:
+    """Bare term, or ``term.field`` -> #inside(#extents:term #extents:field)
+    (StructuredQuery.java:162-182)."""
+    if "." in tok and not re.fullmatch(r"[\d.]+", tok):
+        term, fld = tok.split(".", 1)
+        return Node(
+            "inside",
+            {},
+            [
+                Node("extents", {"default": term}),
+                Node("extents", {"default": fld}),
+            ],
+        )
+    return term_node(tok)
+
+
+def parse(query: str) -> Node:
+    """Parse a query string into a Node tree (StructuredQuery.parse,
+    ``StructuredQuery.java:214-233``). Multiple top-level items are
+    wrapped in #root (given a real operator by TransformRootTraversal)."""
+    stack: list[Node] = [Node("root")]
+    for m in _TOKEN_RE.finditer(query):
+        kind = m.lastgroup
+        tok = m.group()
+        if kind == "op":
+            node = _parse_op(tok)
+            stack[-1].children.append(node)
+        elif kind == "lparen":
+            if not stack[-1].children:
+                raise ValueError(f"'(' without operator in {query!r}")
+            stack.append(stack[-1].children[-1])
+        elif kind == "rparen":
+            if len(stack) == 1:
+                raise ValueError(f"unbalanced ')' in {query!r}")
+            stack.pop()
+        elif kind == "quoted":
+            terms = tok.strip('"').split()
+            if len(terms) == 1:
+                stack[-1].children.append(term_node(terms[0]))
+            else:
+                stack[-1].children.append(
+                    Node("ordered", {"default": 1}, [term_node(t) for t in terms])
+                )
+        else:
+            stack[-1].children.append(_term_or_field(tok))
+    if len(stack) != 1:
+        raise ValueError(f"unbalanced '(' in {query!r}")
+    root = stack[0]
+    if len(root.children) == 1:
+        return root.children[0]
+    return root

@@ -1,0 +1,204 @@
+"""Query rewrite pipeline — the rule-based logical optimizer.
+
+Mirrors the reference's ordered traversal list
+(``core/.../retrieval/FeatureFactory.java:109-134``; driver
+``LocalRetrieval.java:316-325``). Each rule is a pure ``Node -> Node``
+full-tree pass, applied in the reference's order. Rules the Catalyst layer
+subsumes (column pruning = ExtentsToCountLeafTraversal, predicate pushdown)
+are intentionally absent — Spark does them on the physical plan.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+
+from galago_git_spark.query.nodes import Node, is_term_leaf
+
+# operator aliases (FeatureFactory.java:36-108 registration names)
+ALIASES = {
+    "od": "ordered",
+    "quote": "ordered",  # #quote == #od:1 (ImplicitFeatureCastTraversal)
+    "uw": "unordered",
+    "intersect": "unordered",  # width -1 => whole document
+    "syn": "synonym",
+    "band": "all",
+    "bor": "any",
+    "bnot": "not",
+    "seqdep": "sdm",
+    "linear": "jm",
+    "count-sum": "countsum",
+    "counts-sum": "countsum",
+}
+
+SCORERS = {"bm25", "dirichlet", "jm", "logcount", "boost", "log"}
+COUNT_OPS = {
+    "counts", "extents", "ordered", "unordered", "synonym", "mincount",
+    "countsum", "inside", "null",
+}
+_DEFAULT_WINDOW = {"ordered": 1, "unordered": -1}
+
+
+def _map_children(node: Node, fn) -> Node:
+    node.children = [fn(c) for c in node.children]
+    return node
+
+
+def replace_operators(node: Node) -> Node:
+    """ReplaceOperatorTraversal.java — operator aliasing."""
+    _map_children(node, replace_operators)
+    op = ALIASES.get(node.operator, node.operator)
+    n = Node(op, dict(node.parameters), node.children)
+    if node.operator == "quote":
+        n.parameters["default"] = 1
+    if node.operator == "intersect":
+        n.parameters["default"] = -1
+    if op in _DEFAULT_WINDOW and "default" not in n.parameters:
+        n.parameters["default"] = _DEFAULT_WINDOW[op]
+    return n
+
+
+def transform_root(node: Node) -> Node:
+    """TransformRootTraversal.java — the parser's #root becomes #combine."""
+    if node.operator == "root":
+        return Node("combine", dict(node.parameters), node.children)
+    return node
+
+
+def sdm_traversal(node: Node) -> Node:
+    """SequentialDependenceTraversal.java:87-155 — #sdm(t1..tn) ->
+    #combine:0=uniw:1=odw:2=uww( #combine(unigrams)
+    #combine(#od:1 pairs) #combine(#uw:windowLimit*? pairs) ).
+
+    Defaults: uniw=0.8, odw=0.15, uww=0.05, od width=1, uw width=4*2=8
+    (uw width = 4 * number-of-terms-in-window, windowLimit=2).
+    """
+    _map_children(node, sdm_traversal)
+    if node.operator != "sdm":
+        return node
+    terms = node.children
+    uniw = node.get_float("uniw", 0.8)
+    odw = node.get_float("odw", 0.15)
+    uww = node.get_float("uww", 0.05)
+    od_width = node.get_int("od.width", 1)
+    uw_width = node.get_int("uw.width", 8)
+    unigrams = Node("combine", {}, [deepcopy(t) for t in terms])
+    if len(terms) == 1:
+        return unigrams
+    ods = [
+        Node("ordered", {"default": od_width}, [deepcopy(terms[i]), deepcopy(terms[i + 1])])
+        for i in range(len(terms) - 1)
+    ]
+    uws = [
+        Node("unordered", {"default": uw_width}, [deepcopy(terms[i]), deepcopy(terms[i + 1])])
+        for i in range(len(terms) - 1)
+    ]
+    return Node(
+        "combine",
+        {"0": uniw, "1": odw, "2": uww},
+        [unigrams, Node("combine", {}, ods), Node("combine", {}, uws)],
+    )
+
+
+def implicit_feature_cast(node: Node, default_scorer: str = "dirichlet") -> Node:
+    """ImplicitFeatureCastTraversal.java:94-134 — count-typed children of
+    score-typed operators get wrapped in the default scorer."""
+    scorer = node.get_str("scorer", default_scorer)
+    _map_children(node, lambda c: implicit_feature_cast(c, scorer))
+    if node.operator in ("combine", "wsum", "rm"):
+        new_children = []
+        for c in node.children:
+            if c.operator in COUNT_OPS:
+                new_children.append(Node(scorer, {}, [c]))
+            else:
+                new_children.append(c)
+        node.children = new_children
+    return node
+
+
+def flatten_combine(node: Node) -> Node:
+    """FlattenCombineTraversal.java:38-80 — nested #combine flattened;
+    child weights scale by the (normalized) parent weight."""
+    _map_children(node, flatten_combine)
+    if node.operator != "combine":
+        return node
+    if not any(c.operator == "combine" for c in node.children):
+        return node
+    parent_w = node.indexed_weights()
+    norm = node.get_bool("norm", True)
+    if norm and sum(parent_w) > 0:
+        parent_w = [w / sum(parent_w) for w in parent_w]
+    new_children: list[Node] = []
+    new_weights: list[float] = []
+    for w, c in zip(parent_w, node.children):
+        if c.operator == "combine":
+            child_w = c.indexed_weights()
+            if c.get_bool("norm", True) and sum(child_w) > 0:
+                child_w = [x / sum(child_w) for x in child_w]
+            for cw, cc in zip(child_w, c.children):
+                new_children.append(cc)
+                new_weights.append(w * cw)
+        else:
+            new_children.append(c)
+            new_weights.append(w)
+    params: dict = {str(i): w for i, w in enumerate(new_weights)}
+    params["norm"] = False  # weights are already normalized products
+    return Node("combine", params, new_children)
+
+
+def merge_combine_children(node: Node) -> Node:
+    """MergeCombineChildrenTraversal.java:33-66 — duplicate children of
+    #combine merged, weights summed (works on the node string key, the
+    same CSE key Galago uses)."""
+    _map_children(node, merge_combine_children)
+    if node.operator != "combine":
+        return node
+    weights = node.indexed_weights()
+    seen: dict[str, int] = {}
+    new_children: list[Node] = []
+    new_weights: list[float] = []
+    for w, c in zip(weights, node.children):
+        key = str(c)
+        if key in seen:
+            new_weights[seen[key]] += w
+        else:
+            seen[key] = len(new_children)
+            new_children.append(c)
+            new_weights.append(w)
+    if len(new_children) == len(node.children):
+        return node
+    params: dict = {str(i): w for i, w in enumerate(new_weights)}
+    if "norm" in node.parameters:
+        params["norm"] = node.parameters["norm"]
+    return Node("combine", params, new_children)
+
+
+def flatten_window(node: Node) -> Node:
+    """FlattenWindowTraversal.java — single-child window ops collapse."""
+    _map_children(node, flatten_window)
+    if node.operator in ("ordered", "unordered") and len(node.children) == 1:
+        return node.children[0]
+    return node
+
+
+PIPELINE = [
+    replace_operators,
+    transform_root,
+    sdm_traversal,
+    flatten_window,
+    implicit_feature_cast,
+    flatten_combine,
+    merge_combine_children,
+]
+
+
+def transform(node: Node) -> Node:
+    """Run the full rewrite pipeline (LocalRetrieval.transformQuery analog).
+
+    Statistics annotation (AnnotateCollectionStatistics) and the
+    delta-readiness check happen in the executor, which holds the index
+    handle — the stats *source* is identical (lengths-part field stats +
+    per-term node stats)."""
+    out = deepcopy(node)
+    for rule in PIPELINE:
+        out = rule(out)
+    return out
