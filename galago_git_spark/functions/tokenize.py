@@ -54,7 +54,9 @@ def tokenize_col(text: Column) -> Column:
     Stays entirely inside whole-stage codegen: lower, regexp_replace,
     split, filter. Returns ``array<string>``.
     """
-    cleaned = F.regexp_replace(F.lower(text), f"[{_APOSTROPHES}]", "")
+    cleaned = F.regexp_replace(
+        F.lower(F.coalesce(text, F.lit(""))), f"[{_APOSTROPHES}]", ""
+    )
     toks = F.split(cleaned, SPLIT_PATTERN)
     return F.filter(
         toks, lambda t: (F.length(t) > 0) & (F.length(t) <= MAX_TOKEN_LENGTH)

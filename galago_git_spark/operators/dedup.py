@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All are pure DataFrame plans (no Python in the hot path) designed for the
+shapes that survive 100 TB:
+
+- exact:    hash-groupBy — one shuffle on a 32-char key, partial agg first.
+- shingle / n-gram Jaccard: explode shingles -> self-join on shingle ->
+  pair aggregation. The join key (shingle hash) is high-cardinality, so
+  the shuffle is well spread; frequent shingles are the skew risk — the
+  ``max_shingle_df`` guard drops super-common shingles (they carry no
+  dedup signal), the standard trick for web-scale near-dup.
+- MinHash + LSH: per-doc signature via min-aggregation over shingle
+  hashes (map-side partial agg), banded into ``n_bands`` keys; candidate
+  pairs = docs sharing a band key. Only candidate generation shuffles,
+  and only on band keys.
+- SimHash: per-term hash bits weighted by tf, sign-aggregated — a single
+  groupBy(doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from galago_git_spark.functions.tokenize import tokenize_col
+from galago_git_spark.operators.hashing import md5_long
+
+
+def doc_terms(docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(doc_col).alias("doc"), tokenize_col(F.col(text_col)).alias("terms")
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents: (content_md5, n_docs, min_doc).
+    One shuffle; md5 computed map-side."""
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("content_md5"),
+            F.col(doc_col).alias("doc"),
+        )
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, shingle) — distinct word n-grams per doc, built natively:
+    transform over a sequence of start offsets, then explode."""
+    t = doc_terms(docs, doc_col, text_col)
+    sh = F.when(
+        F.size("terms") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("terms") - n),
+            lambda i: F.concat_ws(" ", F.slice("terms", i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select("doc", F.explode(sh).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram-set Jaccard >= threshold:
+    (doc_a, doc_b, jaccard). |union| = |A| + |B| - |intersection|."""
+    sh = shingles(docs, n, doc_col, text_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, h, minhash): for hash function h in 0..n_hashes-1, the min
+    over the doc's shingles of md5_long(h || '|' || shingle). Partial
+    (map-side) min-aggregation keeps the shuffle tiny."""
+    sh = shingles(docs, shingle_n, doc_col, text_col)
+    hs = sh.select(
+        "doc",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h"),
+    )
+    hashed = hs.withColumn(
+        "hv", md5_long(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle")))
+    )
+    return hashed.groupBy("doc", "h").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band (band = hash of
+    the band's concatenated minhashes). rows_per_band = n_hashes/n_bands."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes, shingle_n, doc_col, text_col)
+    banded = (
+        sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: s.minhash.cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+        .withColumn(
+            "band_key",
+            F.md5(F.concat_ws(":", F.col("band").cast("string"), "band_sig")),
+        )
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band_key")
+    b = banded.select(F.col("doc").alias("doc_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 16,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, simhash): tf-weighted sign aggregation of per-term hash bits.
+    bit_j(doc) = 1 iff sum_t tf_t * (2*bit_j(h(t)) - 1) > 0."""
+    t = doc_terms(docs, doc_col, text_col)
+    tf = (
+        t.select("doc", F.explode("terms").alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("hv", md5_long(F.col("term")))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = tf.groupBy("doc").agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(
+            2**j
+        )
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc", sig.cast("long").alias("simhash"))

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force cosine top-k: the correctness
+  baseline. The dot product stays JVM-side (``zip_with`` +
+  ``aggregate``); the scan is embarrassingly parallel and the top-k is a
+  ``TakeOrderedAndProject`` (distributed heap), so this scales linearly —
+  at 100 TB you bound it by partition pruning on a coarse filter first.
+- :func:`lsh_hyperplane_buckets` — random-hyperplane (sign) LSH: the
+  scale path. Planes are derived deterministically from md5 so the
+  DuckDB oracle can reproduce them; dot products are computed on
+  1e3-quantized integer embeddings so the bucket id is exact (no float
+  sign ambiguity across engines).
+- :func:`cosine_pairs` — brute-force near-dup pairs by cosine >=
+  threshold (embedding-cosine dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from galago_git_spark.operators.hashing import md5_long
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to ``query_vec``.
+    (id, cosine) — cosine desc, id asc tie-break."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col).alias("id"),
+        cosine_col(F.col(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — embedding near-dup.
+    Brute force O(n^2): correct baseline; at scale, pre-bucket with
+    :func:`lsh_hyperplane_buckets` and join within buckets."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "lsh",
+) -> DataFrame:
+    """(id, bucket): bucket = sign-bit string over deterministic
+    hyperplanes. plane[p][d] = (md5_long(seed_p_d) % 2001) - 1000, an
+    integer in [-1000, 1000]; embeddings are quantized to
+    round(x * 1000)::long, so each dot product is exact int arithmetic —
+    bit-identical across engines and cluster sizes."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    e = embeddings.select(F.col(id_col).alias("id"), qv.alias("q"))
+    bucket = None
+    for p in range(n_planes):
+        coeffs = F.array(
+            *[
+                (
+                    md5_long(F.lit(f"{seed}_{p}_{d}")) % F.lit(2001) - F.lit(1000)
+                ).cast("long")
+                for d in range(dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), coeffs, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("id", bucket.cast("int").alias("bucket"))
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path ANN: restrict the brute-force scan to the query's LSH
+    bucket (approximate — misses cross-bucket neighbors by design)."""
+    buckets = lsh_hyperplane_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    one = embeddings.sparkSession.createDataFrame(
+        [(0, [float(x) for x in query_vec])], f"{id_col} long, {vec_col} array<float>"
+    )
+    qb = lsh_hyperplane_buckets(one, n_planes, dim, id_col, vec_col).collect()[0][
+        "bucket"
+    ]
+    cand = embeddings.join(
+        buckets.filter(F.col("bucket") == qb).select(F.col("id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,686 @@
+"""Driver-contract queries: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable with a matching DuckDB oracle
+SQL string over the same parquet tables.
+
+Conventions that make the driver's order-insensitive value-hash match:
+
+- identical column names on both sides;
+- float columns rounded to 6 decimals on both sides;
+- top-k rankings computed on the ROUNDED score with ascending-doc
+  tie-break on both sides (so a last-ulp float difference can never
+  reorder rows across engines);
+- deterministic md5-based hashing (operators/hashing.py) wherever a hash
+  function crosses engines.
+
+The full-text entries mirror Galago operators (SURVEY.md §2.1) evaluated
+over the ``documents`` table via an inline (lazy) index; the training-data
+entries cover dedup / similarity-search / text-analysis over ``documents``
+and ``embeddings``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from galago_git_spark.operators import dedup, simsearch, textstats
+from galago_git_spark.query.executor import inline_index, score_frame
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments (canonical tokenization — must equal tokenize_col)
+# ---------------------------------------------------------------------------
+
+TOKS = """toks AS (
+  SELECT doc_id AS doc,
+         list_filter(
+           regexp_split_to_array(
+             regexp_replace(lower(coalesce(text, '')), '[''’]', '', 'g'),
+             '[^a-z0-9_]+'),
+           t -> len(t) > 0 AND len(t) <= 100) AS terms
+  FROM documents)"""
+TOK = "tok AS (SELECT doc, unnest(terms) AS term FROM toks)"
+LENS = "lens AS (SELECT doc, len(terms) AS length FROM toks)"
+CS = "cs AS (SELECT sum(length)::double AS cl, count(*)::double AS n FROM lens)"
+POS = """pos AS (
+  SELECT doc, u.term AS term, u.pos AS pos
+  FROM (SELECT doc,
+               unnest(list_transform(terms, (x,i) -> {'term': x, 'pos': i})) AS u
+        FROM toks))"""
+
+MD5_LONG = "cast(concat('0x', substring(md5({0}), 1, 15)) as ubigint)::bigint"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _ranked(scored: DataFrame, k: int = 10) -> DataFrame:
+    """(doc, score, rank): rank over rounded score desc, doc asc."""
+    r = scored.withColumn("score", F.round(F.col("score"), 6))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        r.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc", "score", "rank")
+    )
+
+
+def _rank_sql(score_expr_cte: str, k: int = 10, src: str = "scored") -> str:
+    """Wrap a CTE chain ending in ``src``(doc, s) into the ranked shape."""
+    return f"""{score_expr_cte}
+SELECT doc, score, rank FROM (
+  SELECT doc, round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc ASC) AS rank
+  FROM {src})
+WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# A. index structure
+# ---------------------------------------------------------------------------
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = inline_index(_docs(spark, sf_dir))
+    return idx.postings.select("term", "doc", "tf")
+
+
+SQL_POSTINGS = f"""WITH {TOKS}, {TOK}
+SELECT term, doc, count(*) AS tf FROM tok GROUP BY term, doc"""
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inline_index(_docs(spark, sf_dir)).lengths.select("doc", "length")
+
+
+SQL_DOC_LENGTHS = f"WITH {TOKS} SELECT doc, len(terms) AS length FROM toks"
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inline_index(_docs(spark, sf_dir)).termstats.select(
+        "term", "df", "cf", "max_tf"
+    )
+
+
+SQL_TERM_STATS = f"""WITH {TOKS}, {TOK},
+post AS (SELECT term, doc, count(*) AS tf FROM tok GROUP BY term, doc)
+SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf
+FROM post GROUP BY term"""
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = inline_index(_docs(spark, sf_dir))
+    vocab = idx.termstats.count()
+    cs = idx.collection_stats
+    return spark.createDataFrame(
+        [
+            (
+                cs.collection_length,
+                cs.document_count,
+                round(cs.avg_doc_length, 6),
+                vocab,
+            )
+        ],
+        "collection_length long, document_count long, avg_doc_length double, vocab_count long",
+    )
+
+
+SQL_COLLECTION_STATS = f"""WITH {TOKS}, {LENS}, {TOK}
+SELECT sum(length) AS collection_length,
+       count(*) AS document_count,
+       round(sum(length)::double / count(*), 6) AS avg_doc_length,
+       (SELECT count(DISTINCT term) FROM tok) AS vocab_count
+FROM lens"""
+
+
+# ---------------------------------------------------------------------------
+# B. retrieval (top-10, ranked on rounded scores)
+# ---------------------------------------------------------------------------
+
+def _retrieval(query: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = inline_index(_docs(spark, sf_dir))
+        return _ranked(score_frame(query, idx))
+
+    return fn
+
+
+def _sql_qt(terms_weights: list[tuple[str, float]]) -> str:
+    vals = ", ".join(f"('{t}', {w}::double)" for t, w in terms_weights)
+    return f"qt AS (SELECT * FROM (VALUES {vals}) AS q(term, w))"
+
+
+def _sql_bm25(terms_weights: list[tuple[str, float]], b=0.75, k1=1.2) -> str:
+    total = sum(w for _, w in terms_weights)
+    tw = [(t, w / total) for t, w in terms_weights]
+    terms_in = ", ".join(f"'{t}'" for t, _ in tw)
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+{_sql_qt(tw)},
+post AS (SELECT term, doc, count(*)::double AS tf FROM tok
+         WHERE term IN ({terms_in}) GROUP BY term, doc),
+ts AS (SELECT term, count(*)::double AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc,
+         sum(q.w * ln(cs.n / (ts.df + 0.5))
+             * (p.tf * {k1 + 1}) / (p.tf + {k1} * ({1 - b} + {b} * l.length / (cs.cl / cs.n)))) AS s
+  FROM post p
+  JOIN lens l USING (doc)
+  JOIN ts USING (term)
+  JOIN qt q USING (term)
+  CROSS JOIN cs
+  GROUP BY p.doc)"""
+
+
+def _sql_dirichlet(terms_weights: list[tuple[str, float]], mu=1500.0) -> str:
+    total = sum(w for _, w in terms_weights)
+    tw = [(t, w / total) for t, w in terms_weights]
+    terms_in = ", ".join(f"'{t}'" for t, _ in tw)
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+{_sql_qt(tw)},
+post AS (SELECT term, doc, count(*)::double AS tf FROM tok
+         WHERE term IN ({terms_in}) GROUP BY term, doc),
+ts AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+cand AS (SELECT DISTINCT doc FROM post),
+scored AS (
+  SELECT c.doc,
+         sum(q.w * ln((coalesce(p.tf, 0) + {mu} * coalesce(ts.cf, 0.5) / cs.cl)
+                      / (l.length + {mu}))) AS s
+  FROM cand c
+  CROSS JOIN qt q
+  LEFT JOIN ts ON ts.term = q.term
+  LEFT JOIN post p ON p.doc = c.doc AND p.term = q.term
+  JOIN lens l ON l.doc = c.doc
+  CROSS JOIN cs
+  GROUP BY c.doc)"""
+
+
+def _sql_jm(terms_weights: list[tuple[str, float]], lam=0.5) -> str:
+    total = sum(w for _, w in terms_weights)
+    tw = [(t, w / total) for t, w in terms_weights]
+    terms_in = ", ".join(f"'{t}'" for t, _ in tw)
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+{_sql_qt(tw)},
+post AS (SELECT term, doc, count(*)::double AS tf FROM tok
+         WHERE term IN ({terms_in}) GROUP BY term, doc),
+ts AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+cand AS (SELECT DISTINCT doc FROM post),
+scored AS (
+  SELECT c.doc,
+         sum(q.w * ln({lam} * coalesce(p.tf, 0) / l.length
+                      + {1 - lam} * coalesce(ts.cf, 0.5) / cs.cl)) AS s
+  FROM cand c
+  CROSS JOIN qt q
+  LEFT JOIN ts ON ts.term = q.term
+  LEFT JOIN post p ON p.doc = c.doc AND p.term = q.term
+  JOIN lens l ON l.doc = c.doc
+  CROSS JOIN cs
+  GROUP BY c.doc)"""
+
+
+BM25_TERMS = [("table", 1.0), ("row", 1.0), ("merge", 1.0)]
+DIR_TERMS = [("query", 1.0), ("scan", 1.0)]
+JM_TERMS = [("join", 1.0), ("filter", 1.0)]
+WEIGHTED_TERMS = [("hash", 0.7), ("table", 0.3)]
+
+
+# ---------------------------------------------------------------------------
+# C. count / boolean / field operators
+# ---------------------------------------------------------------------------
+
+def q_ordered_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir))
+    node = transform(parse("#od:1(fast table)"))
+    return compile_count(node, idx).select("doc", "tf")
+
+
+SQL_ORDERED_WINDOW = f"""WITH {TOKS}, {POS},
+pa AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = 'fast' GROUP BY doc),
+pb AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = 'table' GROUP BY doc),
+m AS (SELECT a.doc,
+             len(list_intersect(list_transform(a.ps, p -> p + 1), b.ps)) AS tf
+      FROM pa a JOIN pb b USING (doc))
+SELECT doc, tf::bigint AS tf FROM m WHERE tf > 0"""
+
+
+def q_synonym_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir))
+    return compile_count(transform(parse("#syn(table row)")), idx).select("doc", "tf")
+
+
+SQL_SYNONYM = f"""WITH {TOKS}, {TOK}
+SELECT doc, count(*) AS tf FROM tok WHERE term IN ('table', 'row') GROUP BY doc"""
+
+
+def q_mincount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir))
+    return compile_count(transform(parse("#mincount(table value)")), idx).select(
+        "doc", "tf"
+    )
+
+
+SQL_MINCOUNT = f"""WITH {TOKS}, {TOK},
+a AS (SELECT doc, count(*) AS tf FROM tok WHERE term = 'table' GROUP BY doc),
+b AS (SELECT doc, count(*) AS tf FROM tok WHERE term = 'value' GROUP BY doc)
+SELECT a.doc, least(a.tf, b.tf) AS tf FROM a JOIN b USING (doc)"""
+
+
+def q_countsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir))
+    return compile_count(transform(parse("#count-sum(spark stream)")), idx).select(
+        "doc", "tf"
+    )
+
+
+SQL_COUNTSUM = f"""WITH {TOKS}, {TOK}
+SELECT doc, count(*) AS tf FROM tok WHERE term IN ('spark', 'stream') GROUP BY doc"""
+
+
+def q_boolean_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from galago_git_spark.query.executor import compile_indicator
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir))
+    return compile_indicator(transform(parse("#band(spark vector)")), idx).select("doc")
+
+
+SQL_BAND = f"""WITH {TOKS}, {TOK}
+SELECT doc FROM tok WHERE term IN ('spark', 'vector')
+GROUP BY doc HAVING count(DISTINCT term) = 2"""
+
+
+def q_boolean_bnot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from galago_git_spark.query.executor import compile_indicator
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir))
+    return compile_indicator(transform(parse("#bnot(the)")), idx).select("doc")
+
+
+SQL_BNOT = f"""WITH {TOKS}, {TOK}
+SELECT doc FROM toks
+WHERE doc NOT IN (SELECT doc FROM tok WHERE term = 'the')"""
+
+
+def q_reject_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#reject semantics at the ranking level: BM25 over (table, row),
+    dropping docs containing 'vector' (RejectIterator -> left_anti)."""
+    idx = inline_index(_docs(spark, sf_dir))
+    scored = score_frame("#combine:scorer=bm25(table row)", idx)
+    rej = idx.postings.filter(F.col("term") == "vector").select("doc")
+    return _ranked(scored.join(rej, "doc", "left_anti"))
+
+
+SQL_REJECT = _rank_sql(
+    _sql_bm25([("table", 1.0), ("row", 1.0)])
+    + """,
+rejected AS (SELECT DISTINCT doc FROM tok WHERE term = 'vector'),
+scored2 AS (SELECT * FROM scored WHERE doc NOT IN (SELECT doc FROM rejected))""",
+    src="scored2",
+)
+
+
+def q_field_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    from galago_git_spark.functions.tokenize import tokenize_col
+
+    return docs.filter(
+        (F.col("n_chars") > 150) & (F.col("n_chars") < 300)
+    ).filter(
+        F.array_contains(tokenize_col(F.col("text")), "data")
+    ).select(F.col("doc_id").alias("doc"), "n_chars")
+
+
+SQL_FIELD_BETWEEN = f"""WITH {TOKS}
+SELECT d.doc_id AS doc, d.n_chars
+FROM documents d JOIN toks t ON t.doc = d.doc_id
+WHERE d.n_chars > 150 AND d.n_chars < 300 AND list_contains(t.terms, 'data')"""
+
+
+# ---------------------------------------------------------------------------
+# D. training-data operators
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    groups = (
+        docs.select(F.md5("text").alias("content_md5"), F.col("doc_id").alias("doc"))
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("group_n"), F.min("doc").alias("min_doc"))
+    )
+    return groups.select("content_md5", "group_n", "min_doc")
+
+
+SQL_DEDUP_EXACT = """SELECT md5(text) AS content_md5, count(*) AS group_n,
+       min(doc_id) AS min_doc
+FROM documents GROUP BY md5(text)"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""WITH {TOKS},
+sh AS (
+  SELECT DISTINCT doc,
+         unnest(CASE WHEN len(terms) >= 3
+                THEN list_transform(range(1, len(terms) - 1),
+                                    i -> array_to_string(terms[i : i + 2], ' '))
+                ELSE [] END) AS shingle
+  FROM toks),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc)
+SELECT doc_a, doc_b,
+       round(i::double / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE i::double / (sa.sz + sb.sz - i) >= 0.2"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=8, n_bands=4
+    ).select("doc_a", "doc_b")
+
+
+SQL_MINHASH_LSH = f"""WITH {TOKS},
+sh AS (
+  SELECT DISTINCT doc,
+         unnest(CASE WHEN len(terms) >= 3
+                THEN list_transform(range(1, len(terms) - 1),
+                                    i -> array_to_string(terms[i : i + 2], ' '))
+                ELSE [] END) AS shingle
+  FROM toks),
+hs AS (
+  SELECT doc, h, min({MD5_LONG.format("concat(h::varchar, '|', shingle)")}) AS minhash
+  FROM sh, range(0, 8) AS r(h)
+  GROUP BY doc, h),
+banded AS (
+  SELECT doc, (h // 2)::int AS band,
+         md5(concat((h // 2)::int::varchar, ':',
+             string_agg(minhash::varchar, ',' ORDER BY h))) AS band_key
+  FROM hs GROUP BY doc, (h // 2)::int)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc < b.doc"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), bits=16).select("doc", "simhash")
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    h = MD5_LONG.format("term")
+    bit_sums = ", ".join(
+        f"sum(tf * ((( hv >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * {2**j}" for j in range(bits)
+    )
+    return f"""WITH {TOKS}, {TOK},
+tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY doc, term),
+hv AS (SELECT doc, tf, {h} AS hv FROM tf),
+agg AS (SELECT doc, {bit_sums} FROM hv GROUP BY doc)
+SELECT doc, ({sig})::bigint AS simhash FROM agg"""
+
+
+SQL_SIMHASH = _sql_simhash(16)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc",
+        "n_tokens",
+        "n_chars",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("uniq_ratio", 6).alias("uniq_ratio"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in textstats.STOPWORDS_EN)
+SQL_QUALITY = f"""WITH {TOKS}
+SELECT doc,
+       len(terms) AS n_tokens,
+       length(coalesce(text, '')) AS n_chars,
+       round(CASE WHEN len(terms) > 0
+             THEN list_sum(list_transform(terms, t -> len(t)))::double / len(terms)
+             ELSE 0 END, 6) AS avg_token_len,
+       round(CASE WHEN len(terms) > 0
+             THEN len(list_filter(terms, t -> t IN ({_STOP_IN})))::double / len(terms)
+             ELSE 0 END, 6) AS stopword_ratio,
+       round(CASE WHEN length(coalesce(text, '')) > 0
+             THEN length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9_\\s]', '', 'g'))::double
+                  / length(coalesce(text, ''))
+             ELSE 0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(terms) > 0
+             THEN len(list_distinct(terms))::double / len(terms)
+             ELSE 0 END, 6) AS uniq_ratio
+FROM toks JOIN documents ON documents.doc_id = toks.doc"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir)).select("doc", "pred_lang")
+
+
+def _sql_lang_id() -> str:
+    cases = []
+    for lang, markers in sorted(textstats.LANG_MARKERS.items()):
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        cases.append(
+            f"{{'neg': -len(list_filter(terms, t -> t IN ({in_list}))), 'lang': '{lang}'}}"
+        )
+    arr = ", ".join(cases)
+    return f"""WITH {TOKS}
+SELECT doc, (list_min([{arr}])).lang AS pred_lang FROM toks"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir)).select(
+        "doc", "ws_tokens", "bpe_tokens"
+    )
+
+
+SQL_TOKEN_COUNTS = f"""SELECT doc_id AS doc,
+       len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(lower(coalesce(text, '')), '{textstats.BPE_TOKEN_RE}')) AS bpe_tokens
+FROM documents"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir)).select("doc", "fingerprint")
+
+
+SQL_FINGERPRINT = f"""WITH {TOKS}, {POS}
+SELECT doc,
+       sum((pos * ({MD5_LONG.format("term")} % {textstats.FINGERPRINT_MOD}))
+           % {textstats.FINGERPRINT_MOD}) % {textstats.FINGERPRINT_MOD} AS fingerprint
+FROM pos GROUP BY doc"""
+
+
+QUERY_VEC_ID = 0
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    out = simsearch.cosine_topk(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID), [float(x) for x in qvec], k=10
+    )
+    r = out.withColumn("cosine", F.round("cosine", 6))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return r.withColumn("rank", F.row_number().over(w)).select("id", "cosine", "rank")
+
+
+SQL_ANN_COSINE = f"""WITH ev AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x::double}})) AS u
+  FROM embeddings),
+evf AS (SELECT vec_id, u.i AS i, u.x AS x FROM ev),
+q AS (SELECT i, x AS qx FROM evf WHERE vec_id = {QUERY_VEC_ID}),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM q),
+dots AS (
+  SELECT vec_id, sum(x * qx) AS dot, sum(x * x) AS n2
+  FROM evf JOIN q USING (i)
+  WHERE vec_id != {QUERY_VEC_ID}
+  GROUP BY vec_id)
+SELECT id, cosine, rank FROM (
+  SELECT vec_id AS id,
+         round(dot / (sqrt(n2) * qn.qn), 6) AS cosine,
+         row_number() OVER (ORDER BY round(dot / (sqrt(n2) * qn.qn), 6) DESC, vec_id ASC) AS rank
+  FROM dots CROSS JOIN qn)
+WHERE rank <= 10"""
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.lsh_hyperplane_buckets(
+        _emb(spark, sf_dir), n_planes=8, dim=64
+    ).select("id", "bucket")
+
+
+def _sql_lsh_buckets(n_planes: int = 8, dim: int = 64) -> str:
+    h = MD5_LONG.format("concat('lsh_', p::varchar, '_', (i - 1)::varchar)")
+    return f"""WITH q AS (
+  SELECT vec_id AS id,
+         unnest(list_transform(embedding,
+                (x, i) -> {{'i': i, 'v': round(x::double * 1000)::bigint}})) AS u
+  FROM embeddings),
+qf AS (SELECT id, u.i AS i, u.v AS v FROM q),
+planes AS (
+  SELECT p, i, ({h} % 2001 - 1000)::bigint AS c
+  FROM range(0, {n_planes}) AS rp(p), range(1, {dim} + 1) AS ri(i)),
+dots AS (
+  SELECT id, p, sum(v * c) AS dot
+  FROM qf JOIN planes USING (i)
+  GROUP BY id, p)
+SELECT id,
+       sum((CASE WHEN dot > 0 THEN 1 ELSE 0 END) * (1 << p))::int AS bucket
+FROM dots GROUP BY id"""
+
+
+SQL_LSH_BUCKETS = _sql_lsh_buckets()
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = simsearch.cosine_pairs(_emb(spark, sf_dir), threshold=0.8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMB_PAIRS = """WITH ev AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x::double})) AS u
+  FROM embeddings),
+evf AS (SELECT vec_id, u.i AS i, u.x AS x FROM ev),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM evf GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM evf a JOIN evf b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.8"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "fti_postings": q_postings,
+        "fti_doc_lengths": q_doc_lengths,
+        "fti_term_stats": q_term_stats,
+        "fti_collection_stats": q_collection_stats,
+        "fti_bm25_topk": _retrieval("#combine:scorer=bm25(table row merge)"),
+        "fti_dirichlet_topk": _retrieval("#combine(query scan)"),
+        "fti_jm_topk": _retrieval(
+            "#combine(#jm(join) #jm(filter))"
+        ),
+        "fti_weighted_combine_topk": _retrieval(
+            "#combine:0=0.7:1=0.3(#bm25(hash) #bm25(table))"
+        ),
+        "fti_ordered_window": q_ordered_window,
+        "fti_synonym": q_synonym_counts,
+        "fti_mincount": q_mincount,
+        "fti_countsum": q_countsum,
+        "fti_boolean_band": q_boolean_band,
+        "fti_boolean_bnot": q_boolean_bnot,
+        "fti_reject_filter": q_reject_filter,
+        "fti_field_between": q_field_between,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_simhash": q_simhash,
+        "text_quality": q_quality,
+        "text_lang_id": q_lang_id,
+        "text_token_counts": q_token_counts,
+        "text_fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_lsh_buckets,
+        "dedup_embedding_cosine": q_embedding_cosine_pairs,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "fti_postings": SQL_POSTINGS,
+        "fti_doc_lengths": SQL_DOC_LENGTHS,
+        "fti_term_stats": SQL_TERM_STATS,
+        "fti_collection_stats": SQL_COLLECTION_STATS,
+        "fti_bm25_topk": _rank_sql(_sql_bm25(BM25_TERMS)),
+        "fti_dirichlet_topk": _rank_sql(_sql_dirichlet(DIR_TERMS)),
+        "fti_jm_topk": _rank_sql(_sql_jm(JM_TERMS)),
+        "fti_weighted_combine_topk": _rank_sql(_sql_bm25(WEIGHTED_TERMS)),
+        "fti_ordered_window": SQL_ORDERED_WINDOW,
+        "fti_synonym": SQL_SYNONYM,
+        "fti_mincount": SQL_MINCOUNT,
+        "fti_countsum": SQL_COUNTSUM,
+        "fti_boolean_band": SQL_BAND,
+        "fti_boolean_bnot": SQL_BNOT,
+        "fti_reject_filter": SQL_REJECT,
+        "fti_field_between": SQL_FIELD_BETWEEN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_minhash_lsh": SQL_MINHASH_LSH,
+        "dedup_simhash": SQL_SIMHASH,
+        "text_quality": SQL_QUALITY,
+        "text_lang_id": SQL_LANG_ID,
+        "text_token_counts": SQL_TOKEN_COUNTS,
+        "text_fingerprint": SQL_FINGERPRINT,
+        "ann_cosine_topk": SQL_ANN_COSINE,
+        "ann_lsh_buckets": SQL_LSH_BUCKETS,
+        "dedup_embedding_cosine": SQL_EMB_PAIRS,
+    }

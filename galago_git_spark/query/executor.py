@@ -279,6 +279,25 @@ def _is_flat_term_scorer(node: Node) -> bool:
     )
 
 
+def score_frame(
+    query: str | Node, index: Index, default_scorer: str = "dirichlet"
+) -> DataFrame:
+    """Full scored candidate set ``(doc, score)`` — unranked, unlimited.
+    The building block for execute() and for oracle-checked wrappers that
+    need to rank on rounded scores."""
+    node = parse(query) if isinstance(query, str) else query
+    node = transform(node)
+    if _is_scorer(node):
+        node = Node("combine", {}, [node])
+    if node.operator == "combine":
+        return _execute_combine(node, index, default_scorer)
+    if node.operator == "wsum":
+        return _execute_wsum(node, index)
+    # bare count node: implicit default scorer over it
+    node = Node("combine", {}, [Node(default_scorer, {}, [node])])
+    return _execute_combine(node, index, default_scorer)
+
+
 def execute(
     query: str | Node,
     index: Index,
@@ -291,21 +310,7 @@ def execute(
     Returns ``(doc, score, rank)`` — score desc, then ascending doc
     (ScoredDocument.java:41-52 tie-break) — limited to k.
     """
-    if isinstance(query, str):
-        node = parse(query)
-    else:
-        node = query
-    node = transform(node)
-    if _is_scorer(node):
-        node = Node("combine", {}, [node])
-    if node.operator == "combine":
-        scored = _execute_combine(node, index, default_scorer)
-    elif node.operator == "wsum":
-        scored = _execute_wsum(node, index)
-    else:
-        # bare count node: implicit default scorer over it
-        node = Node("combine", {}, [Node(default_scorer, {}, [node])])
-        scored = _execute_combine(node, index, default_scorer)
+    scored = score_frame(query, index, default_scorer)
     out = (
         scored.orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(k)
