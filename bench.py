@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness — the engine's TimedBatchSearch analog
+(``core/.../tools/apps/TimedBatchSearch.java:114-221``).
+
+Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``:
+
+1. full index build from the ``documents`` table (relational parts +
+   packed vbyte block layer) — reported as build seconds and docs/sec;
+2. ranked retrieval (BM25 / Dirichlet / JM #combine top-10) over the
+   built index — per-query wall seconds;
+3. representative training-data operators (MinHash-LSH near-dup,
+   brute-force ANN cosine top-k, token stats) straight off the tables.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ..., "build_docs_per_sec": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("galago_git_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from galago_git_spark.index.build import build_index, open_index
+    from galago_git_spark.plans import driver_queries as dq
+    from galago_git_spark.query.executor import execute
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lit("corpus").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text")), 256)
+        .substr(1, 40)
+        .alias("commit"),
+        F.coalesce(F.col("lang"), F.lit("md")).alias("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    n_docs = docs.count()
+
+    tmp = tempfile.mkdtemp(prefix="bench_index_")
+    index_dir = os.path.join(tmp, "idx")
+    try:
+        # 1. index build (relational parts + packed block layer)
+        timed("build_index", lambda: build_index(docs, index_dir, positions=False))
+        try:
+            from galago_git_spark.index.packed import build_packed
+
+            timed("build_packed", lambda: build_packed(spark, index_dir))
+            has_packed = True
+        except ImportError:
+            has_packed = False
+
+        idx = open_index(spark, index_dir)
+        # warm the tiny broadcast side once so query timings measure queries
+        idx.collection_stats  # noqa: B018
+
+        # 2. ranked retrieval over the built index
+        queries = {
+            "q_bm25_top10": ("#combine(#bm25(table) #bm25(row) #bm25(merge))", "bm25"),
+            "q_dirichlet_top10": ("#combine(query scan)", "dirichlet"),
+            "q_jm_top10": ("#combine(#jm(join) #jm(filter))", "jm"),
+            "q_bm25_weighted": ("#combine:0=0.7:1=0.3(#bm25(hash) #bm25(table))", "bm25"),
+        }
+        for name, (q, scorer) in queries.items():
+            timed(
+                name,
+                lambda q=q, scorer=scorer: execute(
+                    q, idx, k=10, default_scorer=scorer
+                ).collect(),
+            )
+
+        if has_packed:
+            from galago_git_spark.query.wand import wand_topk
+
+            timed(
+                "q_bm25_wand_top10",
+                lambda: wand_topk(
+                    spark, index_dir, ["table", "row", "merge"], k=10
+                ).collect(),
+            )
+
+        # 3. training-data operators straight off the driver tables
+        reg = dq.queries()
+        for name in ("dedup_minhash_lsh", "ann_cosine_topk", "text_token_counts"):
+            if name in reg:
+                timed(name, lambda name=name: reg[name](spark, sf_dir).collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 4)
+    build_sec = timings.get("build_index", 0.0) + timings.get("build_packed", 0.0)
+    result = {
+        "metric": "index-build + BM25 top-10 pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "n_docs": n_docs,
+        "build_docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,160 @@
+"""Packed posting layer + block-max WAND tests.
+
+The core correctness engine (SURVEY.md §5 pattern 3, mirroring
+``core/src/test/.../processing/DeltaScoreDocumentModelTest.java:29-105``):
+the pruned WAND kernel must equal the exhaustive relational path doc-by-doc
+and score-by-score.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from galago_git_spark.index.build import build_index
+from galago_git_spark.index.codec import (
+    decode_doc_block,
+    delta_decode,
+    delta_encode,
+    encode_doc_block,
+    vbyte_decode,
+    vbyte_encode,
+)
+from galago_git_spark.index.packed import build_packed, read_blocks
+from galago_git_spark.query.wand import wand_topk
+from galago_git_spark.sources.corpus import synthetic_code_corpus
+
+
+# --- codec ------------------------------------------------------------------
+
+def test_vbyte_known_bytes():
+    # Galago wire format (CompressedByteBuffer.java:49-67): 7-bit groups,
+    # little-endian, hi bit marks each value's final byte.
+    assert vbyte_encode(np.array([0], dtype=np.uint64)) == bytes([0x80])
+    assert vbyte_encode(np.array([1], dtype=np.uint64)) == bytes([0x81])
+    assert vbyte_encode(np.array([127], dtype=np.uint64)) == bytes([0xFF])
+    assert vbyte_encode(np.array([128], dtype=np.uint64)) == bytes([0x00, 0x81])
+    assert vbyte_encode(np.array([300], dtype=np.uint64)) == bytes([0x2C, 0x82])
+    assert list(vbyte_decode(bytes([0x2C, 0x82]))) == [300]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+def test_vbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert list(vbyte_decode(vbyte_encode(arr))) == values
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300
+    )
+)
+def test_doc_block_roundtrip(docs):
+    arr = np.array(sorted(set(docs)), dtype=np.uint64)
+    out = decode_doc_block(encode_doc_block(arr))
+    assert list(out) == list(arr)
+
+
+def test_delta_codec():
+    v = np.array([5, 7, 7, 30], dtype=np.uint64)
+    g = delta_encode(v)
+    assert list(g) == [5, 2, 0, 23]
+    assert list(delta_decode(g)) == [5, 7, 7, 30]
+
+
+# --- packed layer -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def packed_index(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("packed") / "idx")
+    corpus = synthetic_code_corpus(spark, n_docs=400, seed=42, skew_head=True)
+    build_index(corpus, index_dir, positions=False)
+    build_packed(spark, index_dir, block_size=32, bucket_bits=7)
+    return index_dir
+
+
+def test_blocks_reconcile_with_postings(spark, packed_index):
+    from pyspark.sql import functions as F
+
+    postings = spark.read.parquet(f"{packed_index}/postings")
+    blocks = read_blocks(spark, packed_index)
+    # every posting appears in exactly one block; totals reconcile
+    got = blocks.agg(F.sum("n")).collect()[0][0]
+    assert got == postings.count()
+    # block doc ranges nest inside their bucket (blocks never span buckets)
+    bad = blocks.filter(
+        (F.shiftright(F.col("first_doc"), 7) != F.col("bucket"))
+        | (F.shiftright(F.col("last_doc"), 7) != F.col("bucket"))
+    ).count()
+    assert bad == 0
+    # decode a head-term block chain: docs strictly increasing, tfs match
+    head = blocks.filter(F.col("term") == "the_head_term").orderBy(
+        "bucket", "first_doc"
+    )
+    rows = head.collect()
+    assert rows, "skewed head term must exist"
+    all_docs = []
+    for r in rows:
+        d = decode_doc_block(bytes(r["docs"]))
+        t = vbyte_decode(bytes(r["tfs"]))
+        assert len(d) == r["n"] == len(t)
+        assert d[0] == r["first_doc"] and d[-1] == r["last_doc"]
+        assert (np.diff(d.astype(np.int64)) > 0).all()
+        assert int(t.max()) == r["max_tf"]
+        all_docs.extend(d.tolist())
+    ref = [
+        r["doc"]
+        for r in postings.filter(F.col("term") == "the_head_term")
+        .orderBy("doc")
+        .collect()
+    ]
+    assert all_docs == ref
+
+
+# --- WAND vs exhaustive equivalence ----------------------------------------
+
+QUERIES = [
+    ["def", "return"],
+    ["get_set", "run_load", "index_query"],
+    ["the_head_term"],
+    ["the_head_term", "def", "score_token"],
+    ["zzz_not_a_term", "def"],
+]
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["-".join(q)[:30] for q in QUERIES])
+def test_wand_rank_identical_to_exhaustive(spark, packed_index, terms):
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.executor import execute
+
+    idx = open_index(spark, packed_index)
+    q = "#combine(" + " ".join(f"#bm25({t})" for t in terms) + ")"
+    brute = execute(q, idx, k=10, default_scorer="bm25").collect()
+    wand = wand_topk(spark, packed_index, terms, k=10).collect()
+    assert [r["doc"] for r in wand] == [r["doc"] for r in brute]
+    for w, b in zip(wand, brute):
+        assert w["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_wand_weighted_and_k(spark, packed_index):
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.executor import execute
+
+    idx = open_index(spark, packed_index)
+    q = "#combine:0=0.7:1=0.3(#bm25(def) #bm25(return))"
+    brute = execute(q, idx, k=25, default_scorer="bm25").collect()
+    wand = wand_topk(
+        spark, packed_index, ["def", "return"], k=25, weights=[0.7, 0.3]
+    ).collect()
+    assert [r["doc"] for r in wand] == [r["doc"] for r in brute]
+    for w, b in zip(wand, brute):
+        assert w["score"] == pytest.approx(b["score"], abs=1e-9)
+
+
+def test_wand_unknown_terms_only(spark, packed_index):
+    out = wand_topk(spark, packed_index, ["zzz_not_a_term"], k=5)
+    assert out.count() == 0
