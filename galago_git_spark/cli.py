@@ -1,0 +1,234 @@
+"""Command-line entry points — the engine's ``galago build`` /
+``galago batch-search`` analogs (``core/.../tools/apps/BuildIndex.java:829-866``,
+``BatchSearch.java:82-206``), runnable via ``spark-submit --py-files`` or
+``python -m galago_git_spark.cli``.
+
+Subcommands::
+
+    build        --input DIR|synthetic:N --index DIR [--cores N] [--packed]
+                 [--positions] [--resume]
+    search       --index DIR --query "..." [--k K] [--scorer S] [--wand]
+    batch-search --index DIR --queries FILE.json [--k K] [--wand] [--repeats R]
+                 (queries file: {"queries": [{"number": "...", "text": "..."}]},
+                  the reference's BatchSearch JSON shape; prints TREC format
+                  ``qid Q0 name rank score tag`` like ScoredDocument.java:79-82)
+
+``batch-search --timing`` prints per-query wall times and the batch p50 —
+the TimedBatchSearch analog. All subcommands print a final one-line JSON
+summary on stdout (machine-readable, used by scripts/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+
+def _get_spark(cores: int, app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
+def cmd_build(args: argparse.Namespace) -> dict:
+    spark = _get_spark(args.cores, "galago-build")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import build_index
+
+    if args.input.startswith("synthetic:"):
+        from galago_git_spark.sources.corpus import synthetic_code_corpus
+
+        n = int(args.input.split(":", 1)[1])
+        docs = synthetic_code_corpus(spark, n_docs=n, seed=args.seed)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    t0 = time.perf_counter()
+    build_index(
+        docs,
+        args.index,
+        positions=args.positions,
+        resume=args.resume,
+    )
+    build_s = time.perf_counter() - t0
+    packed_s = 0.0
+    if args.packed:
+        from galago_git_spark.index.packed import build_packed
+
+        t1 = time.perf_counter()
+        build_packed(
+            spark, args.index,
+            block_size=args.block_size, bucket_bits=args.bucket_bits,
+        )
+        packed_s = time.perf_counter() - t1
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n_docs = spark.read.parquet(f"{args.index}/names").count()
+    spark.stop()
+    return {
+        "cmd": "build",
+        "index": args.index,
+        "n_docs": n_docs,
+        "cores": args.cores,
+        "build_sec": round(build_s, 3),
+        "packed_sec": round(packed_s, 3),
+        "docs_per_sec": round(n_docs / (build_s + packed_s), 2),
+    }
+
+
+def _run_one(spark, index, index_dir: str, text: str, k: int, scorer: str,
+             use_wand: bool, reader=None):
+    from galago_git_spark.query.executor import execute
+
+    if use_wand:
+        from galago_git_spark.query.parser import parse
+        from galago_git_spark.query.wand import wand_eligible, wand_topk
+
+        eligible = wand_eligible(parse(text), default_scorer=scorer)
+        if eligible is not None:
+            terms, weights = eligible
+            return wand_topk(
+                spark, index_dir, terms, k=k, weights=weights, reader=reader
+            ).collect()
+    return execute(text, index, k=k, default_scorer=scorer).collect()
+
+
+def cmd_search(args: argparse.Namespace) -> dict:
+    spark = _get_spark(args.cores, "galago-search")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+
+    idx = open_index(spark, args.index)
+    rows = _run_one(spark, idx, args.index, args.query, args.k, args.scorer,
+                    args.wand)
+    for r in rows:
+        print(f"{r['doc']}\t{r['rank']}\t{r['score']:.6f}", file=sys.stderr)
+    spark.stop()
+    return {
+        "cmd": "search",
+        "query": args.query,
+        "k": args.k,
+        "results": [{"doc": r["doc"], "rank": r["rank"], "score": r["score"]}
+                    for r in rows],
+    }
+
+
+def cmd_batch_search(args: argparse.Namespace) -> dict:
+    spark = _get_spark(args.cores, "galago-batch-search")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+
+    idx = open_index(spark, args.index)
+    reader = None
+    if args.wand:
+        from galago_git_spark.query.wand import PackedReader
+
+        reader = PackedReader(spark, args.index)
+        reader.lengths_bucketed.count()  # warm the shared cache once
+    with open(args.queries) as f:
+        queries = json.load(f)["queries"]
+
+    work = [q for _ in range(args.repeats) for q in queries]
+    times: list[float] = []
+    t_wall0 = time.perf_counter()
+
+    def run(q) -> tuple[dict, list, float]:
+        t0 = time.perf_counter()
+        rows = _run_one(spark, idx, args.index, q["text"], args.k,
+                        args.scorer, args.wand, reader=reader)
+        return q, rows, time.perf_counter() - t0
+
+    if args.threads > 1:
+        # ThreadedBatchSearch analog (ThreadedBatchSearch.java:104-105):
+        # concurrent job submission into the shared scheduler
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.threads) as pool:
+            results = list(pool.map(run, work))
+    else:
+        results = [run(q) for q in work]
+    wall = time.perf_counter() - t_wall0
+
+    for q, rows, dt in results:
+        times.append(dt)
+        if not args.timing:
+            for r in rows:
+                # TREC run format (ScoredDocument.java:79-82)
+                print(
+                    f"{q['number']} Q0 {r['doc']} {r['rank']} "
+                    f"{r['score']:.6f} galago_git_spark",
+                    file=sys.stderr,
+                )
+    spark.stop()
+    return {
+        "cmd": "batch-search",
+        "n_queries": len(queries),
+        "repeats": args.repeats,
+        "cores": args.cores,
+        "threads": args.threads,
+        "wand": args.wand,
+        "total_sec": round(sum(times), 4),
+        "wall_sec": round(wall, 4),
+        "p50_sec": round(statistics.median(times), 4),
+        "queries_per_sec": round(len(times) / wall, 3),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="galago_git_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True,
+                   help="parquet dir of (repo,path,commit,lang,content), or synthetic:N")
+    b.add_argument("--index", required=True)
+    b.add_argument("--cores", type=int, default=8)
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--packed", action="store_true")
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--block-size", type=int, default=512)
+    b.add_argument("--bucket-bits", type=int, default=12)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--cores", type=int, default=8)
+    s.add_argument("--scorer", default="dirichlet")
+    s.add_argument("--wand", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    bs = sub.add_parser("batch-search")
+    bs.add_argument("--index", required=True)
+    bs.add_argument("--queries", required=True)
+    bs.add_argument("--k", type=int, default=10)
+    bs.add_argument("--cores", type=int, default=8)
+    bs.add_argument("--scorer", default="bm25")
+    bs.add_argument("--wand", action="store_true")
+    bs.add_argument("--repeats", type=int, default=1)
+    bs.add_argument("--threads", type=int, default=1)
+    bs.add_argument("--timing", action="store_true")
+    bs.set_defaults(fn=cmd_batch_search)
+
+    args = p.parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

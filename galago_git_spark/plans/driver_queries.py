@@ -251,6 +251,106 @@ m AS (SELECT a.doc,
 SELECT doc, tf::bigint AS tf FROM m WHERE tf > 0"""
 
 
+def q_unordered_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir))
+    node = transform(parse("#uw:8(table row)"))
+    return compile_count(node, idx).select("doc", "tf")
+
+
+def _sql_uw_pair(t1: str, t2: str, w: int) -> str:
+    """UnorderedWindowIterator pair semantics in SQL: the loop consumes the
+    global-min occurrence e each step and matches iff the other term's next
+    occurrence f (> e) satisfies f+1-e <= w (UnorderedWindowIterator.java:28-82)."""
+    inf = 1 << 40
+    return (
+        f"len(list_filter(a.ps, e -> coalesce(list_min(list_filter(b.ps, f -> f > e)), {inf}) + 1 - e <= {w}))"
+        f" + len(list_filter(b.ps, e -> coalesce(list_min(list_filter(a.ps, f -> f > e)), {inf}) + 1 - e <= {w}))"
+    )
+
+
+SQL_UNORDERED_WINDOW = f"""WITH {TOKS}, {POS},
+pa AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = 'table' GROUP BY doc),
+pb AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = 'row' GROUP BY doc),
+m AS (SELECT a.doc, {_sql_uw_pair('table', 'row', 8)} AS tf
+      FROM pa a JOIN pb b USING (doc))
+SELECT doc, tf::bigint AS tf FROM m WHERE tf > 0"""
+
+
+def q_sdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#sdm(fast table) under the default Dirichlet scorer — the full
+    SequentialDependenceTraversal expansion (unigrams + #od:1 + #uw:8)
+    executed end-to-end (SequentialDependenceTraversal.java:87-155)."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame("#sdm(fast table)", idx))
+
+
+def _sql_sdm(t1: str, t2: str, mu: float = 1500.0) -> str:
+    # flattened weights: 0.8 * 1/2 per unigram, 0.15 od, 0.05 uw
+    def dir_term(tf_expr: str, cf_expr: str) -> str:
+        return (
+            f"ln(({tf_expr} + {mu} * (CASE WHEN {cf_expr} > 0 THEN {cf_expr} "
+            f"ELSE 0.5 END) / cs.cl) / (l.length + {mu}))"
+        )
+
+    return f"""WITH {TOKS}, {POS}, {LENS}, {CS},
+pa AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = '{t1}' GROUP BY doc),
+pb AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = '{t2}' GROUP BY doc),
+ua AS (SELECT doc, len(ps)::double AS tf FROM pa),
+ub AS (SELECT doc, len(ps)::double AS tf FROM pb),
+od AS (SELECT a.doc,
+              len(list_intersect(list_transform(a.ps, p -> p + 1), b.ps))::double AS tf
+       FROM pa a JOIN pb b USING (doc)),
+uwm AS (SELECT a.doc, ({_sql_uw_pair(t1, t2, 8)})::double AS tf
+        FROM pa a JOIN pb b USING (doc)),
+cf AS (SELECT (SELECT coalesce(sum(tf), 0) FROM ua) AS cf_a,
+              (SELECT coalesce(sum(tf), 0) FROM ub) AS cf_b,
+              (SELECT coalesce(sum(tf), 0) FROM od) AS cf_od,
+              (SELECT coalesce(sum(tf), 0) FROM uwm) AS cf_uw),
+cand AS (SELECT doc FROM pa UNION SELECT doc FROM pb),
+scored AS (
+  SELECT c.doc,
+         0.4 * {dir_term('coalesce(ua.tf, 0)', 'cf.cf_a')}
+       + 0.4 * {dir_term('coalesce(ub.tf, 0)', 'cf.cf_b')}
+       + 0.15 * {dir_term('coalesce(od.tf, 0)', 'cf.cf_od')}
+       + 0.05 * {dir_term('coalesce(uwm.tf, 0)', 'cf.cf_uw')} AS s
+  FROM cand c
+  LEFT JOIN ua USING (doc) LEFT JOIN ub USING (doc)
+  LEFT JOIN od USING (doc) LEFT JOIN uwm USING (doc)
+  JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cf)"""
+
+
+def q_wsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#wsum — log-space probability mixture (WeightedSumIterator.java:57-63)."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame("#wsum(fast table)", idx))
+
+
+def _sql_wsum(t1: str, t2: str, mu: float = 1500.0) -> str:
+    def dir_term(tf_expr: str, cf_expr: str) -> str:
+        return (
+            f"ln(({tf_expr} + {mu} * (CASE WHEN {cf_expr} > 0 THEN {cf_expr} "
+            f"ELSE 0.5 END) / cs.cl) / (l.length + {mu}))"
+        )
+
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+ua AS (SELECT doc, count(*)::double AS tf FROM tok WHERE term = '{t1}' GROUP BY doc),
+ub AS (SELECT doc, count(*)::double AS tf FROM tok WHERE term = '{t2}' GROUP BY doc),
+cf AS (SELECT (SELECT coalesce(sum(tf), 0) FROM ua) AS cf_a,
+              (SELECT coalesce(sum(tf), 0) FROM ub) AS cf_b),
+cand AS (SELECT doc FROM ua UNION SELECT doc FROM ub),
+scored AS (
+  SELECT c.doc,
+         ln(0.5 * exp({dir_term('coalesce(ua.tf, 0)', 'cf.cf_a')})
+          + 0.5 * exp({dir_term('coalesce(ub.tf, 0)', 'cf.cf_b')})) AS s
+  FROM cand c
+  LEFT JOIN ua USING (doc) LEFT JOIN ub USING (doc)
+  JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cf)"""
+
+
 def q_synonym_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from galago_git_spark.query.executor import compile_count
     from galago_git_spark.query.parser import parse
@@ -633,6 +733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "#combine:0=0.7:1=0.3(#bm25(hash) #bm25(table))"
         ),
         "fti_ordered_window": q_ordered_window,
+        "fti_unordered_window": q_unordered_window,
+        "fti_sdm_topk": q_sdm,
+        "fti_wsum_topk": q_wsum,
         "fti_synonym": q_synonym_counts,
         "fti_mincount": q_mincount,
         "fti_countsum": q_countsum,
@@ -665,6 +768,9 @@ def oracle_sql() -> dict[str, str]:
         "fti_jm_topk": _rank_sql(_sql_jm(JM_TERMS)),
         "fti_weighted_combine_topk": _rank_sql(_sql_bm25(WEIGHTED_TERMS)),
         "fti_ordered_window": SQL_ORDERED_WINDOW,
+        "fti_unordered_window": SQL_UNORDERED_WINDOW,
+        "fti_sdm_topk": _rank_sql(_sql_sdm("fast", "table")),
+        "fti_wsum_topk": _rank_sql(_sql_wsum("fast", "table")),
         "fti_synonym": SQL_SYNONYM,
         "fti_mincount": SQL_MINCOUNT,
         "fti_countsum": SQL_COUNTSUM,

@@ -40,9 +40,40 @@ from pyspark.sql import functions as F
 from galago_git_spark.index.build import open_index
 from galago_git_spark.index.codec import decode_doc_block, vbyte_decode
 from galago_git_spark.index.packed import packed_params, read_blocks
+from galago_git_spark.query.nodes import Node
 from galago_git_spark.query.scoring import BM25_B, BM25_K, bm25_idf
 
 _OUT_SCHEMA = "doc long, score double"
+
+
+def wand_eligible(node, default_scorer: str = "bm25") -> tuple[list[str], list[float]] | None:
+    """DeltaCheckTraversal analog (``DeltaCheckTraversal.java:34-55``): a
+    query runs on the WAND path iff (after rewrite) it is a flat #combine
+    of BM25 scorers over bare terms. Returns (terms, raw weights) or None."""
+    from galago_git_spark.query.nodes import is_term_leaf
+    from galago_git_spark.query.traversals import transform
+
+    if "scorer" not in node.parameters:
+        node = Node(node.operator, {**node.parameters, "scorer": default_scorer},
+                    node.children)
+    node = transform(node)
+    if node.operator != "combine":
+        return None
+    terms: list[str] = []
+    for c in node.children:
+        if is_term_leaf(c):
+            terms.append(str(c.default_param))
+        elif (
+            c.operator == "bm25"
+            and len(c.children) == 1
+            and is_term_leaf(c.children[0])
+            and c.get_float("b", BM25_B) == BM25_B
+            and c.get_float("k", BM25_K) == BM25_K
+        ):
+            terms.append(str(c.children[0].default_param))
+        else:
+            return None
+    return terms, node.indexed_weights()
 
 
 def _bucket_kernel(term_info: dict[str, tuple[float, float]], k: int,
@@ -146,6 +177,51 @@ def _bucket_kernel(term_info: dict[str, tuple[float, float]], k: int,
     return kernel
 
 
+class PackedReader:
+    """Reusable query-session handle over a packed index — the analog of
+    keeping a DiskIndex + LocalRetrieval open across queries
+    (``LocalRetrieval.java:61-88``). Caches the tiny stats row, the block
+    scan, and the bucketed lengths (persisted) so each query pays only its
+    own pruned scans. Thread-safe: used by the ThreadedBatchSearch-style
+    ``cli batch-search --threads``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.params = packed_params(index_dir)
+        self.index = open_index(spark, index_dir)
+        self.blocks = read_blocks(spark, index_dir)
+        self.lengths_bucketed = self.index.lengths.withColumn(
+            "bucket",
+            F.shiftright(F.col("doc"), int(self.params["bucket_bits"])).cast("long"),
+        )
+        if cache:
+            self.lengths_bucketed = self.lengths_bucketed.persist()
+        self._cache = cache
+        self._ts_map: dict | None = None
+
+    def term_stats(self, terms: list[str]) -> dict:
+        """Driver-cached stats lookup. The whole termstats table is pulled
+        once when the vocabulary is small (local corpora); above the cap it
+        falls back to a per-query pruned scan (the cluster-scale path —
+        vocab at 10^12 docs does not fit a driver map)."""
+        if not self._cache:
+            return self.index.term_stats(terms)
+        if self._ts_map is None:
+            if self.index.termstats.count() <= 2_000_000:
+                from galago_git_spark.query.scoring import TermStats
+
+                self._ts_map = {
+                    r["term"]: TermStats(r["term"], r["df"], r["cf"], r["max_tf"])
+                    for r in self.index.termstats.collect()
+                }
+            else:
+                self._ts_map = {}  # sentinel: use pruned lookups
+        if self._ts_map:
+            return {t: self._ts_map[t] for t in terms if t in self._ts_map}
+        return self.index.term_stats(terms)
+
+
 def wand_topk(
     spark: SparkSession,
     index_dir: str,
@@ -155,14 +231,17 @@ def wand_topk(
     b: float = BM25_B,
     k1: float = BM25_K,
     normalize: bool = True,
+    reader: PackedReader | None = None,
 ) -> DataFrame:
     """BM25 ``#combine`` top-k via block-max WAND over the packed layer.
 
     Rank-identical to ``executor.execute`` on the same query (the
     exhaustive path); returns ``(doc, score, rank)``.
     """
-    params = packed_params(index_dir)
-    idx = open_index(spark, index_dir)
+    if reader is None:
+        reader = PackedReader(spark, index_dir, cache=False)
+    params = reader.params
+    idx = reader.index
     cs = idx.collection_stats
     avgdl = cs.avg_doc_length
 
@@ -172,7 +251,7 @@ def wand_topk(
         total = sum(weights)
         if total > 0:
             weights = [w / total for w in weights]
-    stats = idx.term_stats(list(set(terms)))
+    stats = reader.term_stats(list(set(terms)))
     term_info = {
         t: (w, bm25_idf(cs.document_count, stats[t].df))
         for t, w in zip(terms, weights)
@@ -186,17 +265,11 @@ def wand_topk(
         and abs(k1 - params["bm25_k"]) < 1e-12
         and abs(avgdl - params["avgdl"]) < 1e-9
     )
-    bucket_bits = int(params["bucket_bits"])
 
-    blocks = read_blocks(spark, index_dir).filter(
-        F.col("term").isin(list(term_info))
-    )
-    lengths = idx.lengths.withColumn(
-        "bucket", F.shiftright(F.col("doc"), bucket_bits).cast("long")
-    )
+    blocks = reader.blocks.filter(F.col("term").isin(list(term_info)))
     # prune the lengths side to buckets that actually hold candidate blocks
     buckets = blocks.select("bucket").distinct()
-    lengths = lengths.join(F.broadcast(buckets), "bucket", "left_semi")
+    lengths = reader.lengths_bucketed.join(F.broadcast(buckets), "bucket", "left_semi")
 
     kernel = _bucket_kernel(term_info, k, b, k1, avgdl, default_tfn)
     candidates = (

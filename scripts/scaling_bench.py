@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling benchmark — the sandbox stand-in for the north
+rule's "N vs 4N executors, throughput scaling efficiency >= 0.8".
+
+Runs the SAME jobs (index build + packed layer; WAND batch-search) on the
+SAME pre-materialized input at two parallelism levels (default local[4] vs
+local[16]), each in a fresh subprocess (fresh JVM — no warm-cache bleed),
+and reports throughput at both plus
+
+    efficiency = (throughput_4N / throughput_N) / (4N / N)
+
+It first runs a pure-CPU multiprocessing burn at both levels to calibrate
+the HARDWARE ceiling: this sandbox advertises 32 vCPUs but only ~16 are
+physical cores (an 8->32-process burn of pure arithmetic achieves only
+~1.7x), so the default levels are 4 -> 16 — a true 4x within the physical
+region, the honest stand-in for N -> 4N executors. The hardware ceiling is
+reported alongside so the efficiency number can be read against it.
+
+Query throughput uses the threaded batch-search (ThreadedBatchSearch
+analog) with threads = cores, measuring wall-clock queries/sec.
+
+Writes BENCH_SCALING.json at the repo root and prints it. Results are
+summarized in BASELINE.md §Scaling.
+
+Usage: python scripts/scaling_bench.py [--n-docs 100000] [--cores 4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = {
+    "queries": [
+        {"number": f"q{i}", "text": t}
+        for i, t in enumerate(
+            [
+                "#combine(def return class)",
+                "#combine(get_set run_load)",
+                "#combine(index_query score_token merge_block)",
+                "#combine:0=0.7:1=0.3(hash_split batch_row)",
+                "#combine(func package import)",
+                "#combine(read_write sort_heap doc_node)",
+            ]
+        )
+    ]
+}
+
+
+def run_cli(args: list[str]) -> dict:
+    """Run the CLI in a subprocess; parse the final JSON line on stdout."""
+    out = subprocess.run(
+        [sys.executable, "-m", "galago_git_spark.cli", *args],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def cpu_ceiling(levels: list[int], units: int = 96) -> dict:
+    """Pure-CPU burn: the best any parallel job could scale on this box."""
+    import multiprocessing as mp
+    import time
+
+    def run(procs: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [1_000_000] * units)
+        return units / (time.perf_counter() - t0)
+
+    lo, hi = run(levels[0]), run(levels[1])
+    return {
+        "throughput": {str(levels[0]): round(lo, 1), str(levels[1]): round(hi, 1)},
+        "efficiency": round((hi / lo) / (levels[1] / levels[0]), 4),
+    }
+
+
+def _burn(n: int) -> float:
+    import time
+
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def materialize_corpus(n_docs: int, path: str) -> None:
+    """Generate the synthetic corpus ONCE so both runs read identical input."""
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from galago_git_spark.session import get_spark
+from galago_git_spark.sources.corpus import synthetic_code_corpus
+spark = get_spark('gen', cores=16, shuffle_partitions=16)
+synthetic_code_corpus(spark, n_docs={n_docs}, seed=42).write.mode('overwrite').parquet({path!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO,
+                   capture_output=True, text=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=100000)
+    ap.add_argument("--input", default=None, help="reuse an existing corpus parquet dir")
+    ap.add_argument("--cores", default="4,16")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
+    args = ap.parse_args()
+    levels = [int(c) for c in args.cores.split(",")]
+    assert len(levels) == 2 and levels[1] > levels[0]
+
+    results: dict = {"n_docs": args.n_docs, "levels": {}}
+    print("calibrating hardware ceiling ...", file=sys.stderr)
+    results["cpu_ceiling"] = cpu_ceiling(levels)
+    with tempfile.TemporaryDirectory(prefix="scaling_") as tmp:
+        if args.input:
+            corpus = args.input
+        else:
+            corpus = os.path.join(tmp, "corpus")
+            print(f"materializing corpus n={args.n_docs} ...", file=sys.stderr)
+            materialize_corpus(args.n_docs, corpus)
+
+        qfile = os.path.join(tmp, "queries.json")
+        with open(qfile, "w") as f:
+            json.dump(QUERIES, f)
+
+        for cores in levels:
+            index_dir = os.path.join(tmp, f"idx_{cores}")
+            print(f"build at local[{cores}] ...", file=sys.stderr)
+            b = run_cli(
+                ["build", "--input", corpus, "--index", index_dir,
+                 "--cores", str(cores), "--packed"]
+            )
+            print(f"batch-search at local[{cores}] ...", file=sys.stderr)
+            s = run_cli(
+                ["batch-search", "--index", index_dir, "--queries", qfile,
+                 "--cores", str(cores), "--k", str(args.k), "--wand",
+                 "--threads", str(cores), "--timing",
+                 "--repeats", str(args.repeats)]
+            )
+            results["levels"][str(cores)] = {"build": b, "batch_search": s}
+
+        # cross-level rank-identity spot check (same ids at both sizes)
+        lo, hi = str(levels[0]), str(levels[1])
+        chk = {}
+        for cores in levels:
+            index_dir = os.path.join(tmp, f"idx_{cores}")
+            r = run_cli(
+                ["search", "--index", index_dir, "--cores", "8", "--wand",
+                 "--query", "#combine(def return class)", "--k", "20"]
+            )
+            chk[str(cores)] = [(x["doc"], round(x["score"], 9)) for x in r["results"]]
+        results["rank_identical_across_levels"] = chk[lo] == chk[hi]
+
+    blo = results["levels"][lo]["build"]["docs_per_sec"]
+    bhi = results["levels"][hi]["build"]["docs_per_sec"]
+    qlo = results["levels"][lo]["batch_search"]["queries_per_sec"]
+    qhi = results["levels"][hi]["batch_search"]["queries_per_sec"]
+    ratio = levels[1] / levels[0]
+    results["build_scaling_efficiency"] = round((bhi / blo) / ratio, 4)
+    results["query_scaling_efficiency"] = round((qhi / qlo) / ratio, 4)
+    results["build_speedup"] = round(bhi / blo, 3)
+    results["query_speedup"] = round(qhi / qlo, 3)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
