@@ -140,6 +140,37 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
     with open(args.queries) as f:
         queries = json.load(f)["queries"]
 
+    if args.mode == "plan":
+        # whole-batch single-plan retrieval (query/batch.py)
+        from galago_git_spark.query.batch import batch_bm25_topk, queries_to_terms
+
+        qt = queries_to_terms(spark, queries)
+        t0 = time.perf_counter()
+        n_rows = 0
+        for _ in range(args.repeats):
+            rows = batch_bm25_topk(idx, qt, k=args.k).collect()
+            n_rows = len(rows)
+        wall = time.perf_counter() - t0
+        if not args.timing:
+            for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+                print(
+                    f"{r['qid']} Q0 {r['doc']} {r['rank']} "
+                    f"{r['score']:.6f} galago_git_spark",
+                    file=sys.stderr,
+                )
+        spark.stop()
+        n_q = len(queries) * args.repeats
+        return {
+            "cmd": "batch-search",
+            "mode": "plan",
+            "n_queries": len(queries),
+            "repeats": args.repeats,
+            "cores": args.cores,
+            "result_rows": n_rows,
+            "wall_sec": round(wall, 4),
+            "queries_per_sec": round(n_q / wall, 3),
+        }
+
     work = [q for _ in range(args.repeats) for q in queries]
     times: list[float] = []
     t_wall0 = time.perf_counter()
@@ -221,6 +252,8 @@ def main(argv: list[str] | None = None) -> int:
     bs.add_argument("--wand", action="store_true")
     bs.add_argument("--repeats", type=int, default=1)
     bs.add_argument("--threads", type=int, default=1)
+    bs.add_argument("--mode", choices=["daat", "plan"], default="daat",
+                    help="daat: per-query WAND/executor; plan: whole batch as one DataFrame job")
     bs.add_argument("--timing", action="store_true")
     bs.set_defaults(fn=cmd_batch_search)
 

@@ -115,6 +115,7 @@ def build_index(
     index_dir: str,
     tokenizer: str = "native",
     positions: bool = True,
+    fields: bool = False,
     num_term_partitions: int | None = None,
     resume: bool = False,
 ) -> dict:
@@ -203,6 +204,24 @@ def build_index(
         postings.write.mode("overwrite").parquet(postings_path)
         record("postings", postings_path, t0)
 
+    # extents part: line-structural field spans (NumberedExtentExtractor /
+    # WindowIndexWriter analog, ``index/disk/WindowIndexWriter.java:23-47``)
+    if fields:
+        extents_path = os.path.join(index_dir, "extents")
+        if not done("extents"):
+            from galago_git_spark.functions.fields import field_extents_col
+
+            t0 = time.time()
+            (
+                toks.select("doc", F.explode(field_extents_col(F.col("content"))).alias("ext"))
+                .select("doc", "ext.field", "ext.begin", "ext.end")
+                .repartitionByRange(num_term_partitions, "field", "doc")
+                .sortWithinPartitions("field", "doc", "begin")
+                .write.mode("overwrite")
+                .parquet(extents_path)
+            )
+            record("extents", extents_path, t0)
+
     # per-term statistics (NodeStatistics: df, cf, maximumCount)
     termstats_path = os.path.join(index_dir, "termstats")
     if not done("termstats"):
@@ -261,6 +280,7 @@ class Index:
     names: DataFrame
     termstats: DataFrame
     collection_stats: CollectionStats
+    extents: DataFrame | None = None
 
     _termstats_cache: dict | None = None
 
@@ -277,7 +297,12 @@ class Index:
 
 def open_index(spark: SparkSession, index_dir: str) -> Index:
     stats_row = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+    extents_path = os.path.join(index_dir, "extents")
+    extents = (
+        spark.read.parquet(extents_path) if os.path.exists(extents_path) else None
+    )
     return Index(
+        extents=extents,
         spark=spark,
         index_dir=index_dir,
         postings=spark.read.parquet(os.path.join(index_dir, "postings")),

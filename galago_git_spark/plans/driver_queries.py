@@ -442,6 +442,30 @@ scored2 AS (SELECT * FROM scored WHERE doc NOT IN (SELECT doc FROM rejected))"""
 )
 
 
+def q_inside_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#inside(term #field:lead()) — occurrences of a term inside the
+    ``lead`` field extent (first 10 tokens; title-field surrogate) via the
+    extent containment join (ExtentInsideIterator.java:60-85; field model:
+    functions/fields.py)."""
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir), fields=True)
+    node = transform(parse("#inside(data #field:lead())"))
+    return compile_count(node, idx).select("doc", "tf")
+
+
+SQL_INSIDE_FIELD = f"""WITH {TOKS}, {POS},
+fext AS (SELECT doc, 1 AS b, least(len(terms), 10) + 1 AS e
+         FROM toks WHERE len(terms) > 0),
+contained AS (
+  SELECT DISTINCT p.doc, p.pos
+  FROM pos p JOIN fext f ON f.doc = p.doc
+  WHERE p.term = 'data' AND p.pos >= f.b AND p.pos + 1 <= f.e)
+SELECT doc, count(*) AS tf FROM contained GROUP BY doc"""
+
+
 def q_field_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     from galago_git_spark.functions.tokenize import tokenize_col
@@ -457,6 +481,59 @@ SQL_FIELD_BETWEEN = f"""WITH {TOKS}
 SELECT d.doc_id AS doc, d.n_chars
 FROM documents d JOIN toks t ON t.doc = d.doc_id
 WHERE d.n_chars > 150 AND d.n_chars < 300 AND list_contains(t.terms, 'data')"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (PageRankFn.java:40-52 semantics, lambda=0.5) over a
+    deterministic link graph: each document links to the next doc_id in
+    its ``source`` group (a chain per source; chain tails are dangling).
+    Fixed 5 iterations (delta=0) so the DuckDB oracle can unroll."""
+    from galago_git_spark.operators.pagerank import pagerank
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("doc"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        docs.select("doc_id", "source")
+        .withColumn("dst", F.lead("doc_id").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("doc_id").alias("src"), "dst")
+    )
+    pr = pagerank(nodes, edges, lambda_=0.5, delta=0.0, max_iter=5)
+    return pr.select("doc", F.round("score", 9).alias("score"))
+
+
+def _sql_pagerank(iters: int = 5, lam: float = 0.5) -> str:
+    walk = 1.0 - lam
+    parts = [
+        f"""nodes AS (SELECT doc_id AS doc FROM documents),
+nn AS (SELECT count(*)::double AS cnt FROM nodes),
+edges AS (SELECT src, dst FROM (
+  SELECT doc_id AS src,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS dst
+  FROM documents) WHERE dst IS NOT NULL),
+outdeg AS (SELECT src, count(*)::double AS deg FROM edges GROUP BY src),
+s0 AS (SELECT doc, 1.0 / (SELECT cnt FROM nn) AS score FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""j{i} AS (SELECT ({lam} * (SELECT sum(score) FROM s{i})
+      + {walk} * (SELECT coalesce(sum(s.score), 0) FROM s{i} s
+                  LEFT JOIN outdeg o ON o.src = s.doc WHERE o.src IS NULL))
+      / (SELECT cnt FROM nn) AS jump),
+w{i} AS (SELECT e.dst AS doc, sum({walk} * s.score / o.deg) AS m
+        FROM s{i} s JOIN edges e ON e.src = s.doc JOIN outdeg o ON o.src = s.doc
+        GROUP BY e.dst),
+s{i + 1} AS (SELECT nd.doc, (SELECT jump FROM j{i}) + coalesce(w.m, 0) AS score
+        FROM nodes nd LEFT JOIN w{i} w USING (doc))"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT doc, round(score, 9) AS score FROM s{iters}"
+    )
+
+
+SQL_PAGERANK = _sql_pagerank()
 
 
 # ---------------------------------------------------------------------------
@@ -742,7 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_boolean_band": q_boolean_band,
         "fti_boolean_bnot": q_boolean_bnot,
         "fti_reject_filter": q_reject_filter,
+        "fti_inside_field": q_inside_field,
         "fti_field_between": q_field_between,
+        "graph_pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
@@ -777,7 +856,9 @@ def oracle_sql() -> dict[str, str]:
         "fti_boolean_band": SQL_BAND,
         "fti_boolean_bnot": SQL_BNOT,
         "fti_reject_filter": SQL_REJECT,
+        "fti_inside_field": SQL_INSIDE_FIELD,
         "fti_field_between": SQL_FIELD_BETWEEN,
+        "graph_pagerank": SQL_PAGERANK,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,

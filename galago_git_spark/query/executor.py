@@ -68,7 +68,8 @@ _COUNT_SCHEMA = "doc long, tf long, positions array<int>"
 
 
 def inline_index(
-    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
+    fields: bool = False,
 ) -> Index:
     """Build an in-memory (lazy, no disk) index view over any table with a
     document id and a text column — used for oracle-checked queries over
@@ -78,6 +79,14 @@ def inline_index(
         F.col(doc_col).cast("long").alias("doc"),
         tokenize_col(F.col(text_col)).alias("terms"),
     )
+    extents = None
+    if fields:
+        from galago_git_spark.functions.fields import field_extents_col
+
+        extents = docs.select(
+            F.col(doc_col).cast("long").alias("doc"),
+            F.explode(field_extents_col(F.col(text_col))).alias("ext"),
+        ).select("doc", "ext.field", "ext.begin", "ext.end")
     tokens = base.select(
         "doc", F.posexplode("terms").alias("pos0", "term")
     ).withColumn("pos", F.col("pos0") + 1)
@@ -103,6 +112,7 @@ def inline_index(
         names=names,
         termstats=termstats,
         collection_stats=CollectionStats(int(agg["cl"]), int(agg["n"])),
+        extents=extents,
     )
 
 
@@ -154,6 +164,33 @@ def compile_count(node: Node, index: Index) -> DataFrame:
             .groupBy("doc")
             .agg(F.sum("tf").alias("tf"))
             .withColumn("positions", F.lit(None).cast("array<int>"))
+        )
+    if op == "inside":
+        # ExtentInsideIterator.java:60-85 — extents of X contained in a
+        # field extent, as a doc-aligned interval-containment join. An X
+        # occurrence inside two overlapping field extents counts once
+        # (distinct), matching the reference's per-X-extent containment
+        # check. Requires a positions build.
+        if index.extents is None:
+            raise ValueError("#inside requires an index built with fields=True")
+        x = compile_count(node.children[0], index)
+        fnode = node.children[1]
+        if fnode.operator not in ("field", "extents"):
+            raise ValueError("#inside second child must be #field:name()")
+        fname = str(fnode.default_param)
+        fext = index.extents.filter(F.col("field") == fname).select(
+            "doc", "begin", "end"
+        )
+        pos = x.select("doc", F.explode("positions").alias("p"))
+        contained = (
+            pos.join(fext, "doc")
+            .filter((F.col("p") >= F.col("begin")) & (F.col("p") + 1 <= F.col("end")))
+            .select("doc", "p")
+            .distinct()
+        )
+        return contained.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("p")).alias("positions"),
         )
     if op == "require":
         ind = compile_indicator(node.children[0], index)
@@ -286,7 +323,7 @@ def score_frame(
     The building block for execute() and for oracle-checked wrappers that
     need to rank on rounded scores."""
     node = parse(query) if isinstance(query, str) else query
-    node = transform(node)
+    node = transform(node, default_scorer)
     if _is_scorer(node):
         node = Node("combine", {}, [node])
     if node.operator == "combine":

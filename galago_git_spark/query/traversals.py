@@ -191,8 +191,13 @@ PIPELINE = [
 ]
 
 
-def transform(node: Node) -> Node:
+def transform(node: Node, default_scorer: str = "dirichlet") -> Node:
     """Run the full rewrite pipeline (LocalRetrieval.transformQuery analog).
+
+    ``default_scorer`` is the engine-level default (the analog of the
+    reference's ``scorer=`` query parameter consumed by
+    ImplicitFeatureCastTraversal); an explicit ``scorer=`` parameter on
+    the query root still wins.
 
     Statistics annotation (AnnotateCollectionStatistics) and the
     delta-readiness check happen in the executor, which holds the index
@@ -200,5 +205,8 @@ def transform(node: Node) -> Node:
     per-term node stats)."""
     out = deepcopy(node)
     for rule in PIPELINE:
-        out = rule(out)
+        if rule is implicit_feature_cast:
+            out = implicit_feature_cast(out, default_scorer)
+        else:
+            out = rule(out)
     return out

@@ -42,11 +42,11 @@ QUERIES = {
         for i, t in enumerate(
             [
                 "#combine(def return class)",
-                "#combine(get_set run_load)",
-                "#combine(index_query score_token merge_block)",
-                "#combine:0=0.7:1=0.3(hash_split batch_row)",
+                "#combine(get_load0 run_sort_ctx0)",
+                "#combine(index_sort_list0 query_col_impl0 merge_block_ptr0)",
+                "#combine:0=0.7:1=0.3(set_block_v20 load_col_iter0)",
                 "#combine(func package import)",
-                "#combine(read_write sort_heap doc_node)",
+                "#combine(parse_load_fn0 node_col_map6 def)",
             ]
         )
     ]
