@@ -35,6 +35,10 @@ def _get_spark(cores: int, app: str):
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
+        # split input files finely enough that the scan parallelizes even
+        # on modest local corpora (default 128m -> a 600MB corpus reads as
+        # ~5 tasks regardless of cores)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
@@ -217,6 +221,97 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_stats(args: argparse.Namespace) -> dict:
+    """``galago stats`` analog (tools/apps/StatsFn.java): collection/field
+    statistics from the stats part."""
+    spark = _get_spark(args.cores, "galago-stats")
+    spark.sparkContext.setLogLevel("ERROR")
+    row = spark.read.parquet(f"{args.index}/stats").collect()[0]
+    spark.stop()
+    return {"cmd": "stats", **row.asDict()}
+
+
+def cmd_doccount(args: argparse.Namespace) -> dict:
+    """``galago doccount``/``xcount`` analog (DocCountFn/XCountFn.java):
+    evaluate count nodes and report df (doc count) and cf (term count)."""
+    spark = _get_spark(args.cores, "galago-doccount")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.executor import node_stats
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = open_index(spark, args.index)
+    out = {}
+    for q in args.query:
+        node = transform(parse(q))
+        ts = node_stats(node, idx)
+        out[q] = {"df": ts.df, "cf": ts.cf, "max_tf": ts.max_tf}
+    spark.stop()
+    return {"cmd": "doccount", "counts": out}
+
+
+def cmd_dump_term_stats(args: argparse.Namespace) -> dict:
+    """``galago dump-term-stats`` analog (DumpTermStatsFn.java): stream the
+    termstats part as TSV term<tab>cf<tab>df on stderr."""
+    spark = _get_spark(args.cores, "galago-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    ts = (
+        spark.read.parquet(f"{args.index}/termstats")
+        .orderBy("term")
+        .limit(args.limit)
+        .collect()
+    )
+    for r in ts:
+        print(f"{r['term']}\t{r['cf']}\t{r['df']}", file=sys.stderr)
+    spark.stop()
+    return {"cmd": "dump-term-stats", "terms": len(ts)}
+
+
+def cmd_dump_lengths(args: argparse.Namespace) -> dict:
+    """``galago dump-lengths`` analog: doc<tab>length on stderr."""
+    spark = _get_spark(args.cores, "galago-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = (
+        spark.read.parquet(f"{args.index}/lengths")
+        .orderBy("doc")
+        .limit(args.limit)
+        .collect()
+    )
+    for r in rows:
+        print(f"{r['doc']}\t{r['length']}", file=sys.stderr)
+    spark.stop()
+    return {"cmd": "dump-lengths", "rows": len(rows)}
+
+
+def cmd_transform_query(args: argparse.Namespace) -> dict:
+    """``galago transform-query`` analog (TransformQueryFn.java): print the
+    post-traversal tree — the rewrite-pipeline debugging oracle."""
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    node = transform(parse(args.query), args.scorer)
+    return {"cmd": "transform-query", "query": args.query, "transformed": str(node)}
+
+
+def cmd_eval(args: argparse.Namespace) -> dict:
+    """``galago eval`` analog: metrics over a TREC run + qrels."""
+    spark = _get_spark(args.cores, "galago-eval")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.evaluation import metrics as M
+    from galago_git_spark.evaluation import trec
+
+    run = trec.read_run(spark, args.run)
+    qrels = trec.read_qrels(spark, args.qrels)
+    per_q = M.evaluate(run, qrels, args.metrics.split(","))
+    summary = {r["metric"]: round(r["value"], 5) for r in M.summarize(per_q).collect()}
+    if args.details:
+        for r in per_q.orderBy("qid", "metric").collect():
+            print(f"{r['metric']}\t{r['qid']}\t{r['value']:.5f}", file=sys.stderr)
+    spark.stop()
+    return {"cmd": "eval", "summary": summary}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="galago_git_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -256,6 +351,42 @@ def main(argv: list[str] | None = None) -> int:
                     help="daat: per-query WAND/executor; plan: whole batch as one DataFrame job")
     bs.add_argument("--timing", action="store_true")
     bs.set_defaults(fn=cmd_batch_search)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--index", required=True)
+    st.add_argument("--cores", type=int, default=4)
+    st.set_defaults(fn=cmd_stats)
+
+    dc = sub.add_parser("doccount")
+    dc.add_argument("--index", required=True)
+    dc.add_argument("--query", action="append", required=True)
+    dc.add_argument("--cores", type=int, default=4)
+    dc.set_defaults(fn=cmd_doccount)
+
+    dts = sub.add_parser("dump-term-stats")
+    dts.add_argument("--index", required=True)
+    dts.add_argument("--limit", type=int, default=1000)
+    dts.add_argument("--cores", type=int, default=4)
+    dts.set_defaults(fn=cmd_dump_term_stats)
+
+    dl = sub.add_parser("dump-lengths")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--limit", type=int, default=1000)
+    dl.add_argument("--cores", type=int, default=4)
+    dl.set_defaults(fn=cmd_dump_lengths)
+
+    tq = sub.add_parser("transform-query")
+    tq.add_argument("--query", required=True)
+    tq.add_argument("--scorer", default="dirichlet")
+    tq.set_defaults(fn=cmd_transform_query)
+
+    ev = sub.add_parser("eval")
+    ev.add_argument("--run", required=True)
+    ev.add_argument("--qrels", required=True)
+    ev.add_argument("--metrics", default="map,recip_rank,ndcg,P10")
+    ev.add_argument("--details", action="store_true")
+    ev.add_argument("--cores", type=int, default=4)
+    ev.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     out = args.fn(args)

@@ -68,8 +68,12 @@ def assign_doc_ids(
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    # rank over a SLIM key-only projection: the range sort and the offsets
+    # pass touch ~100 bytes/row instead of full rows (content is KB-scale
+    # at 10^12 docs); ids then hash-join back onto the wide rows.
     keyed = (
-        docs.repartitionByRange(num_partitions, *key_cols)
+        docs.select(*key_cols)
+        .repartitionByRange(num_partitions, *key_cols)
         .sortWithinPartitions(*key_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -89,18 +93,20 @@ def assign_doc_ids(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*key_cols)
-    out = (
+    slim_ids = (
         keyed.join(offsets_df, "_pid")
         .withColumn("doc", F.col("_offset") + F.row_number().over(w) - 1)
         .drop("_pid", "_offset")
     )
-    return out
+    return docs.join(slim_ids, list(key_cols))
 
 
-def tokenized_docs(docs_with_ids: DataFrame, tokenizer: str = "native") -> DataFrame:
-    """Add a ``terms array<string>`` column. ``native`` stays in
-    whole-stage codegen; ``pandas`` exercises the Arrow-vectorized UDF
-    path (identical output — asserted in tests)."""
+def tokenized_docs(docs_with_ids: DataFrame, tokenizer: str = "pandas") -> DataFrame:
+    """Add a ``terms array<string>`` column. ``pandas`` (default) is the
+    Arrow-vectorized UDF path — measured 5-10x faster than the native
+    column expression AND it scales with cores (the JVM higher-order
+    ``filter`` lambda runs interpreted, outside whole-stage codegen);
+    identical output on both paths is asserted in tests."""
     if tokenizer == "native":
         terms = tokenize_col(F.col("content"))
     elif tokenizer == "pandas":
@@ -113,7 +119,7 @@ def tokenized_docs(docs_with_ids: DataFrame, tokenizer: str = "native") -> DataF
 def build_index(
     docs: DataFrame,
     index_dir: str,
-    tokenizer: str = "native",
+    tokenizer: str = "pandas",
     positions: bool = True,
     fields: bool = False,
     num_term_partitions: int | None = None,

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from galago_git_spark.functions.tokenize import tokenize_col
+from galago_git_spark.functions.tokenize import tokenize_col, tokenize_pandas
 from galago_git_spark.functions.windows import (
     ordered_window_extents,
     positions_to_extents,
@@ -77,7 +77,7 @@ def inline_index(
     the on-disk index, minus persistence."""
     base = docs.select(
         F.col(doc_col).cast("long").alias("doc"),
-        tokenize_col(F.col(text_col)).alias("terms"),
+        tokenize_pandas(F.col(text_col)).alias("terms"),
     )
     extents = None
     if fields:

@@ -36,21 +36,32 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-QUERIES = {
-    "queries": [
-        {"number": f"q{i}", "text": t}
-        for i, t in enumerate(
-            [
-                "#combine(def return class)",
-                "#combine(get_load0 run_sort_ctx0)",
-                "#combine(index_sort_list0 query_col_impl0 merge_block_ptr0)",
-                "#combine:0=0.7:1=0.3(set_block_v20 load_col_iter0)",
-                "#combine(func package import)",
-                "#combine(parse_load_fn0 node_col_map6 def)",
-            ]
-        )
-    ]
-}
+def _vocab_queries(n: int = 48) -> dict:
+    """Deterministic query set over the synthetic corpus vocabulary:
+    mixes head terms, mid-tail identifiers, and per-language keywords."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from galago_git_spark.sources.corpus import _identifier_vocab
+
+    v = _identifier_vocab()
+    kws = ["def", "return", "class", "import", "func", "package", "static", "const"]
+    out = []
+    for i in range(n):
+        t1 = v[(i * 7) % 400]
+        t2 = v[(i * 13 + 3) % 1500]
+        t3 = kws[i % len(kws)]
+        if i % 3 == 0:
+            text = f"#combine({t1} {t2} {t3})"
+        elif i % 3 == 1:
+            text = f"#combine:0=0.6:1=0.4({t1} {t2})"
+        else:
+            text = f"#combine({t1} {t3})"
+        out.append({"number": f"q{i}", "text": text})
+    return {"queries": out}
+
+
+QUERIES = _vocab_queries()
 
 
 def run_cli(args: list[str]) -> dict:
@@ -143,14 +154,21 @@ def main() -> int:
                 ["build", "--input", corpus, "--index", index_dir,
                  "--cores", str(cores), "--packed"]
             )
-            print(f"batch-search at local[{cores}] ...", file=sys.stderr)
-            s = run_cli(
+            print(f"batch-search (plan) at local[{cores}] ...", file=sys.stderr)
+            sp = run_cli(
+                ["batch-search", "--index", index_dir, "--queries", qfile,
+                 "--cores", str(cores), "--k", str(args.k),
+                 "--mode", "plan", "--timing", "--repeats", str(args.repeats)]
+            )
+            print(f"batch-search (daat+wand) at local[{cores}] ...", file=sys.stderr)
+            sd = run_cli(
                 ["batch-search", "--index", index_dir, "--queries", qfile,
                  "--cores", str(cores), "--k", str(args.k), "--wand",
-                 "--threads", str(cores), "--timing",
-                 "--repeats", str(args.repeats)]
+                 "--threads", str(max(1, cores // 2)), "--timing"]
             )
-            results["levels"][str(cores)] = {"build": b, "batch_search": s}
+            results["levels"][str(cores)] = {
+                "build": b, "batch_search": sp, "batch_search_daat": sd,
+            }
 
         # cross-level rank-identity spot check (same ids at both sizes)
         lo, hi = str(levels[0]), str(levels[1])
