@@ -96,6 +96,64 @@ def tokenize_py(text: str | None) -> list[str]:
     ]
 
 
+# --- fused tokenize + per-doc term frequencies ------------------------------
+
+def doc_term_freqs_stream(positions: bool):
+    """``mapInPandas`` kernel: (doc, content) batches -> (doc, term, tf
+    [, positions]) rows, final with no further aggregation — every doc
+    lives in exactly one Arrow batch, so per-doc counts computed here ARE
+    the posting rows. This replaces explode + a 10^7-group JVM hash
+    aggregate (which anti-scaled under shared-heap GC) with C-speed
+    pandas groupbys inside each Python worker — the north-star shape
+    ("tokenization ... with per-doc term frequencies" in one vectorized
+    UDF)."""
+    import numpy as np
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tok_lists = _tokenize_series(pdf["content"]).to_list()
+            lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64)
+            keep = lengths > 0
+            if not keep.any():
+                continue
+            docs_rep = np.repeat(pdf["doc"].to_numpy(), lengths)
+            terms = np.concatenate([t for t in tok_lists if t])
+            out = pd.DataFrame({"doc": docs_rep, "term": terms})
+            if positions:
+                out["pos"] = np.concatenate(
+                    [np.arange(1, n + 1) for n in lengths[keep]]
+                )
+                grouped = (
+                    out.groupby(["doc", "term"], sort=False)["pos"]
+                    .agg(["count", list])
+                    .reset_index()
+                )
+                grouped.columns = ["doc", "term", "tf", "positions"]
+                grouped["positions"] = grouped["positions"].map(sorted)
+                yield grouped
+            else:
+                g = (
+                    out.groupby(["doc", "term"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                )
+                yield g
+
+    return fn
+
+
+def doc_term_freqs(docs_with_ids, positions: bool = False):
+    """(doc, content) -> posting rows DataFrame via one fused UDF pass."""
+    schema = "doc long, term string, tf long"
+    if positions:
+        schema += ", positions array<int>"
+    return docs_with_ids.select("doc", "content").mapInPandas(
+        doc_term_freqs_stream(positions), schema=schema
+    )
+
+
 # --- full Galago-style normalization (acronyms/periods) -------------------
 
 _DOTTED_RE = re.compile(r"^[a-z0-9_]+(\.[a-z0-9_]+)+\.?$")

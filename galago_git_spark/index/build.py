@@ -159,15 +159,20 @@ def build_index(
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)
 
+    # No whole-corpus cache: each part is one streaming pass. The tokenize
+    # UDF is cheap enough (Arrow-vectorized) that recomputation beats the
+    # GC/memory pressure of caching (content + term arrays) — and at
+    # 10^12 docs a corpus-sized cache is impossible anyway. `names` never
+    # tokenizes; `lengths` derives from postings (length == sum of tfs —
+    # every token is in exactly one posting).
     numbered = assign_doc_ids(docs)
-    toks = tokenized_docs(numbered, tokenizer).persist(StorageLevel.MEMORY_AND_DISK)
 
     # names part (+ reverse map: one table serves both directions in Spark)
     names_path = os.path.join(index_dir, "names")
     if not done("names"):
         t0 = time.time()
         (
-            toks.select(
+            numbered.select(
                 "doc", "repo", "path", "commit", "lang",
                 F.sha2(F.col("content"), 256).alias("sha256"),
             )
@@ -178,37 +183,58 @@ def build_index(
         )
         record("names", names_path, t0)
 
-    # lengths part (field statistics source — DiskLengthsWriter analog)
+    # postings part: (term, doc, tf[, positions]); 1-based positions.
+    # Tokenization and per-doc term frequencies are fused in ONE Arrow UDF
+    # pass (functions/tokenize.doc_term_freqs) — counts are final per
+    # batch, so the only shuffle is the term-range write layout.
+    postings_path = os.path.join(index_dir, "postings")
+    if not done("postings"):
+        from galago_git_spark.functions.tokenize import doc_term_freqs
+
+        t0 = time.time()
+        if tokenizer == "native":
+            # legacy explode + hash-agg path (kept for parity testing)
+            toks = tokenized_docs(numbered, tokenizer)
+            token_rows = toks.select(
+                "doc", F.posexplode("terms").alias("pos0", "term")
+            ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+            aggs = [F.count(F.lit(1)).alias("tf")]
+            if positions:
+                aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+            postings = token_rows.groupBy("term", "doc").agg(*aggs)
+        else:
+            postings = doc_term_freqs(numbered, positions=positions)
+        cols = ["term", "doc", "tf"] + (["positions"] if positions else [])
+        (
+            postings.select(*cols)
+            .repartitionByRange(num_term_partitions, "term", "doc")
+            .sortWithinPartitions("term", "doc")
+            .write.mode("overwrite")
+            .parquet(postings_path)
+        )
+        record("postings", postings_path, t0)
+
+    # lengths part (DiskLengthsWriter analog): derived from postings —
+    # length(doc) = sum of its tfs; zero-length docs filled from names.
     lengths_path = os.path.join(index_dir, "lengths")
     if not done("lengths"):
         t0 = time.time()
+        post_lengths = (
+            spark.read.parquet(postings_path)
+            .groupBy("doc")
+            .agg(F.sum("tf").cast("int").alias("length"))
+        )
         (
-            toks.select("doc", F.size("terms").alias("length"))
+            spark.read.parquet(names_path)
+            .select("doc")
+            .join(post_lengths, "doc", "left")
+            .select("doc", F.coalesce("length", F.lit(0)).alias("length"))
             .repartitionByRange(num_term_partitions, "doc")
             .sortWithinPartitions("doc")
             .write.mode("overwrite")
             .parquet(lengths_path)
         )
         record("lengths", lengths_path, t0)
-
-    # postings part: (term, doc, tf[, positions]); 1-based positions
-    postings_path = os.path.join(index_dir, "postings")
-    token_rows = toks.select(
-        "doc", F.posexplode("terms").alias("pos0", "term")
-    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
-    if not done("postings"):
-        t0 = time.time()
-        aggs = [F.count(F.lit(1)).alias("tf")]
-        if positions:
-            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-        postings = (
-            token_rows.groupBy("term", "doc")
-            .agg(*aggs)
-            .repartitionByRange(num_term_partitions, "term", "doc")
-            .sortWithinPartitions("term", "doc")
-        )
-        postings.write.mode("overwrite").parquet(postings_path)
-        record("postings", postings_path, t0)
 
     # extents part: line-structural field spans (NumberedExtentExtractor /
     # WindowIndexWriter analog, ``index/disk/WindowIndexWriter.java:23-47``)
@@ -219,7 +245,7 @@ def build_index(
 
             t0 = time.time()
             (
-                toks.select("doc", F.explode(field_extents_col(F.col("content"))).alias("ext"))
+                numbered.select("doc", F.explode(field_extents_col(F.col("content"))).alias("ext"))
                 .select("doc", "ext.field", "ext.begin", "ext.end")
                 .repartitionByRange(num_term_partitions, "field", "doc")
                 .sortWithinPartitions("field", "doc", "begin")
@@ -270,7 +296,6 @@ def build_index(
         )
         record("stats", stats_path, t0)
 
-    toks.unpersist()
     return manifest
 
 
@@ -287,6 +312,7 @@ class Index:
     termstats: DataFrame
     collection_stats: CollectionStats
     extents: DataFrame | None = None
+    window_parts: dict | None = None  # n -> ordered-shingle postings
 
     _termstats_cache: dict | None = None
 
@@ -307,8 +333,11 @@ def open_index(spark: SparkSession, index_dir: str) -> Index:
     extents = (
         spark.read.parquet(extents_path) if os.path.exists(extents_path) else None
     )
+    from galago_git_spark.index.window import load_window_parts
+
     return Index(
         extents=extents,
+        window_parts=load_window_parts(spark, index_dir) or None,
         spark=spark,
         index_dir=index_dir,
         postings=spark.read.parquet(os.path.join(index_dir, "postings")),

@@ -222,6 +222,44 @@ scored AS (
   GROUP BY c.doc)"""
 
 
+def _sql_pl2(terms_weights: list[tuple[str, float]], c=1.0) -> str:
+    total = sum(w for _, w in terms_weights)
+    tw = [(t, w / total) for t, w in terms_weights]
+    terms_in = ", ".join(f"'{t}'" for t, _ in tw)
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+{_sql_qt(tw)},
+post AS (SELECT term, doc, count(*)::double AS tf FROM tok
+         WHERE term IN ({terms_in}) GROUP BY term, doc),
+ts AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+m AS (SELECT p.doc, q.w, ts.cf, cs.n,
+             p.tf * log2(1 + {c} * (cs.cl / cs.n) / l.length) AS tfd
+      FROM post p JOIN lens l USING (doc) JOIN ts USING (term)
+      JOIN qt q USING (term) CROSS JOIN cs),
+scored AS (
+  SELECT doc, sum(w * greatest(
+    (1.0 / (tfd + 1)) * (tfd * log2(n / cf) + (cf / n) / ln(2)
+      + 0.5 * log2(2 * pi() * tfd) + tfd * (log2(tfd) - 1 / ln(2))), 0)) AS s
+  FROM m GROUP BY doc)"""
+
+
+def _sql_inl2(terms_weights: list[tuple[str, float]], c=1.0) -> str:
+    total = sum(w for _, w in terms_weights)
+    tw = [(t, w / total) for t, w in terms_weights]
+    terms_in = ", ".join(f"'{t}'" for t, _ in tw)
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+{_sql_qt(tw)},
+post AS (SELECT term, doc, count(*)::double AS tf FROM tok
+         WHERE term IN ({terms_in}) GROUP BY term, doc),
+ts AS (SELECT term, count(*)::double AS df FROM post GROUP BY term),
+m AS (SELECT p.doc, q.w, ts.df, cs.n,
+             p.tf * log2(1 + {c} * (cs.cl / cs.n) / l.length) AS tfn
+      FROM post p JOIN lens l USING (doc) JOIN ts USING (term)
+      JOIN qt q USING (term) CROSS JOIN cs),
+scored AS (
+  SELECT doc, sum(w * (1.0 / (tfn + 1)) * tfn * log2((n + 1) / (df + 0.5))) AS s
+  FROM m GROUP BY doc)"""
+
+
 BM25_TERMS = [("table", 1.0), ("row", 1.0), ("merge", 1.0)]
 DIR_TERMS = [("query", 1.0), ("scan", 1.0)]
 JM_TERMS = [("join", 1.0), ("filter", 1.0)]
@@ -809,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_weighted_combine_topk": _retrieval(
             "#combine:0=0.7:1=0.3(#bm25(hash) #bm25(table))"
         ),
+        "fti_pl2_topk": _retrieval("#combine(#pl2(group) #pl2(order))"),
+        "fti_inl2_topk": _retrieval("#combine(#inl2(window) #inl2(batch))"),
         "fti_ordered_window": q_ordered_window,
         "fti_unordered_window": q_unordered_window,
         "fti_sdm_topk": q_sdm,
@@ -846,6 +886,8 @@ def oracle_sql() -> dict[str, str]:
         "fti_dirichlet_topk": _rank_sql(_sql_dirichlet(DIR_TERMS)),
         "fti_jm_topk": _rank_sql(_sql_jm(JM_TERMS)),
         "fti_weighted_combine_topk": _rank_sql(_sql_bm25(WEIGHTED_TERMS)),
+        "fti_pl2_topk": _rank_sql(_sql_pl2([("group", 1.0), ("order", 1.0)])),
+        "fti_inl2_topk": _rank_sql(_sql_inl2([("window", 1.0), ("batch", 1.0)])),
         "fti_ordered_window": SQL_ORDERED_WINDOW,
         "fti_unordered_window": SQL_UNORDERED_WINDOW,
         "fti_sdm_topk": _rank_sql(_sql_sdm("fast", "table")),

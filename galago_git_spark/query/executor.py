@@ -56,11 +56,14 @@ from galago_git_spark.query.scoring import (
     JM_LAMBDA,
     CollectionStats,
     TermStats,
+    bil2_col,
     bm25_col,
     bm25_idf,
     dirichlet_col,
+    inl2_col,
     jm_col,
     normalize_weights,
+    pl2_col,
 )
 from galago_git_spark.query.traversals import transform
 
@@ -131,6 +134,9 @@ def compile_count(node: Node, index: Index) -> DataFrame:
         return index.spark.createDataFrame([], _COUNT_SCHEMA)
     if op in ("ordered", "unordered"):
         width = int(node.get_int("default", 1 if op == "ordered" else -1))
+        rewritten = _window_part_rewrite(node, index, op, width)
+        if rewritten is not None:
+            return rewritten
         return _window_frame(node, index, op, width)
     if op == "synonym":
         frames = [compile_count(c, index) for c in node.children]
@@ -203,6 +209,33 @@ def compile_count(node: Node, index: Index) -> DataFrame:
             ind.select("doc"), "doc", "left_anti"
         )
     raise ValueError(f"unsupported count operator: #{op}")
+
+
+def _window_part_rewrite(
+    node: Node, index: Index, op: str, width: int
+) -> DataFrame | None:
+    """WindowRewriteTraversal analog (``WindowRewriteTraversal.java``): an
+    ``#od:1`` over bare terms becomes a direct lookup of the contiguous
+    n-gram part when one was built (``index/window.py``). Result-identical
+    to the positional match loop for width 1 (tested); positions are not
+    materialized (the reference's rewrite likewise yields a count leaf)."""
+    from galago_git_spark.query.nodes import is_term_leaf
+
+    if op != "ordered" or width != 1 or not index.window_parts:
+        return None
+    n = len(node.children)
+    if n not in index.window_parts:
+        return None
+    if not all(is_term_leaf(c) for c in node.children):
+        return None
+    from galago_git_spark.index.window import SEP
+
+    gram = SEP.join(str(c.default_param) for c in node.children)
+    return (
+        index.window_parts[n]
+        .filter(F.col("term") == gram)
+        .select("doc", "tf", F.lit(None).cast("array<int>").alias("positions"))
+    )
 
 
 def _window_frame(node: Node, index: Index, op: str, width: int) -> DataFrame:
@@ -298,13 +331,21 @@ def _scorer_column(
         lam = node.get_float("lambda", JM_LAMBDA)
         bg = (ts.cf if ts.cf > 0 else 0.5) / cs.collection_length
         return jm_col(tf, length, bg, lam)
+    if op == "pl2":
+        return pl2_col(tf, length, max(ts.cf, 1), cs, node.get_float("c", 1.0))
+    if op == "inl2":
+        return inl2_col(tf, length, ts.df, cs, node.get_float("c", 1.0))
+    if op == "bil2":
+        return bil2_col(tf, length, cs, node.get_float("c", 1.0))
     if op == "logcount":
         return F.log(tf)
     raise ValueError(f"unsupported scorer: #{op}")
 
 
 def _is_scorer(node: Node) -> bool:
-    return node.operator in ("bm25", "dirichlet", "jm", "logcount")
+    return node.operator in (
+        "bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "logcount"
+    )
 
 
 def _is_flat_term_scorer(node: Node) -> bool:
@@ -383,6 +424,8 @@ def _flat_eligible(children: list[Node]) -> bool:
     dirichlet scorers (the length term folds into one constant)."""
     if not all(_is_flat_term_scorer(c) for c in children):
         return False
+    if not all(c.operator in ("bm25", "dirichlet", "jm") for c in children):
+        return False  # DFR scorers run on the general path
     terms = [str(c.children[0].default_param) for c in children]
     if len(set(terms)) != len(terms):
         return False

@@ -138,6 +138,107 @@ def jm_col(tf: Column, length: Column, background: float,
     return F.log(F.lit(lam) * tf / length + F.lit((1 - lam) * background))
 
 
+# --- divergence-from-randomness family ---------------------------------------
+#
+# PL2 (PL2ScoringIterator.java:47-82): TF = tf*log2(1 + c*avgdl/len);
+#   NORM = 1/(TF+1); f = cf/N;
+#   score = NORM*(TF*log2(1/f) + f/ln2 + 0.5*log2(2*pi*TF) + TF*(log2(TF) - 1/ln2));
+#   clamped at 0 ("this makes max-Score work"); tf=0 -> 0.
+# InL2 (InL2ScoringIterator.java:59-72): score = NORM*TFN*log2((N+1)/(df+0.5)).
+# BiL2 (BiL2ScoringIterator.java:55-81): Stirling logFactorial(v)=v*ln(v)-v+1.
+
+_LOG2 = math.log(2.0)
+
+
+def pl2_py(tf: float, length: float, cf: int, cs: CollectionStats,
+           c: float = 1.0) -> float:
+    if tf == 0:
+        return 0.0
+    TF = tf * math.log2(1.0 + (c * cs.avg_doc_length) / length)
+    norm = 1.0 / (TF + 1.0)
+    f = cf / cs.document_count
+    score = norm * (
+        TF * math.log2(1.0 / f)
+        + f / _LOG2
+        + 0.5 * math.log2(2.0 * math.pi * TF)
+        + TF * (math.log2(TF) - 1.0 / _LOG2)
+    )
+    return max(score, 0.0)
+
+
+def pl2_col(tf: Column, length: Column, cf: int, cs: CollectionStats,
+            c: float = 1.0) -> Column:
+    TF = tf * F.log2(1.0 + F.lit(c * cs.avg_doc_length) / length)
+    norm = 1.0 / (TF + 1.0)
+    f = cf / cs.document_count
+    score = norm * (
+        TF * F.lit(math.log2(1.0 / f))
+        + F.lit(f / _LOG2)
+        + 0.5 * F.log2(F.lit(2.0 * math.pi) * TF)
+        + TF * (F.log2(TF) - F.lit(1.0 / _LOG2))
+    )
+    return F.when(tf > 0, F.greatest(score, F.lit(0.0))).otherwise(0.0)
+
+
+def inl2_py(tf: float, length: float, df: int, cs: CollectionStats,
+            c: float = 1.0) -> float:
+    if tf == 0:
+        return 0.0
+    TFN = tf * math.log2(1.0 + (c * cs.avg_doc_length) / length)
+    return (1.0 / (TFN + 1.0)) * TFN * math.log2(
+        (cs.document_count + 1.0) / (df + 0.5)
+    )
+
+
+def inl2_col(tf: Column, length: Column, df: int, cs: CollectionStats,
+             c: float = 1.0) -> Column:
+    TFN = tf * F.log2(1.0 + F.lit(c * cs.avg_doc_length) / length)
+    score = (1.0 / (TFN + 1.0)) * TFN * F.lit(
+        math.log2((cs.document_count + 1.0) / (df + 0.5))
+    )
+    return F.when(tf > 0, score).otherwise(0.0)
+
+
+def _stirling_py(v: float) -> float:
+    return v * math.log(v) - v + 1.0
+
+
+def bil2_py(tf: float, length: float, cs: CollectionStats,
+            c: float = 1.0) -> float:
+    if tf <= 0 or length <= 1.0:
+        return 0.0
+    TFN = tf * math.log2(1.0 + (c * cs.avg_doc_length) / length)
+    if length - 1.0 - TFN <= 0:
+        return 0.0
+    norm = 1.0 / (TFN + 1.0)
+    pp = 1.0 / (length - 1.0)
+    return norm * (
+        -_stirling_py(length - 1)
+        + _stirling_py(TFN)
+        + _stirling_py(length - 1 - TFN)
+        - tf * math.log2(pp)
+        - (length - 1 - TFN) * math.log2(1 - pp)
+    )
+
+
+def bil2_col(tf: Column, length: Column, cs: CollectionStats,
+             c: float = 1.0) -> Column:
+    def stirling(v: Column) -> Column:
+        return v * F.log(v) - v + 1.0
+
+    TFN = tf * F.log2(1.0 + F.lit(c * cs.avg_doc_length) / length)
+    pp = 1.0 / (length - 1.0)
+    score = (1.0 / (TFN + 1.0)) * (
+        -stirling(length - 1)
+        + stirling(TFN)
+        + stirling(length - 1 - TFN)
+        - tf * F.log2(pp)
+        - (length - 1 - TFN) * F.log2(1.0 - pp)
+    )
+    ok = (tf > 0) & (length > 1.0) & (length - 1.0 - TFN > 0)
+    return F.when(ok, score).otherwise(0.0)
+
+
 # --- combine ------------------------------------------------------------------
 
 def normalize_weights(weights: list[float], norm: bool = True) -> list[float]:

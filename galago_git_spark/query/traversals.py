@@ -25,12 +25,13 @@ ALIASES = {
     "bor": "any",
     "bnot": "not",
     "seqdep": "sdm",
+    "fdm": "fulldep",
     "linear": "jm",
     "count-sum": "countsum",
     "counts-sum": "countsum",
 }
 
-SCORERS = {"bm25", "dirichlet", "jm", "logcount", "boost", "log"}
+SCORERS = {"bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "logcount", "boost", "log"}
 COUNT_OPS = {
     "counts", "extents", "ordered", "unordered", "synonym", "mincount",
     "countsum", "inside", "null",
@@ -91,6 +92,50 @@ def sdm_traversal(node: Node) -> Node:
     uws = [
         Node("unordered", {"default": uw_width}, [deepcopy(terms[i]), deepcopy(terms[i + 1])])
         for i in range(len(terms) - 1)
+    ]
+    return Node(
+        "combine",
+        {"0": uniw, "1": odw, "2": uww},
+        [unigrams, Node("combine", {}, ods), Node("combine", {}, uws)],
+    )
+
+
+def fulldep_traversal(node: Node) -> Node:
+    """FullDependenceTraversal.java — #fulldep(t1..tn) ->
+    #combine:0=uniw:1=odw:2=uww( #combine(unigrams)
+    #combine(#od:1 over every ordered subsequence of 2..windowLimit terms)
+    #combine(#uw:4*|S| over the same subsequences) ).
+
+    Defaults mirror the reference: uniw=0.8, odw=0.15, uww=0.05,
+    windowLimit=3 (subsets of adjacent-or-not terms, order preserved)."""
+    _map_children(node, fulldep_traversal)
+    if node.operator != "fulldep":
+        return node
+    terms = node.children
+    uniw = node.get_float("uniw", 0.8)
+    odw = node.get_float("odw", 0.15)
+    uww = node.get_float("uww", 0.05)
+    limit = node.get_int("windowLimit", 3)
+    unigrams = Node("combine", {}, [deepcopy(t) for t in terms])
+    if len(terms) == 1:
+        return unigrams
+
+    # every order-preserving subsequence of size 2..limit
+    subseqs: list[list[Node]] = []
+
+    def gen(start: int, cur: list[int]) -> None:
+        if 2 <= len(cur) <= limit:
+            subseqs.append([deepcopy(terms[i]) for i in cur])
+        if len(cur) >= limit:
+            return
+        for j in range(start, len(terms)):
+            gen(j + 1, cur + [j])
+
+    gen(0, [])
+    ods = [Node("ordered", {"default": 1}, s) for s in subseqs]
+    uws = [
+        Node("unordered", {"default": 4 * len(s)}, [deepcopy(c) for c in s])
+        for s in subseqs
     ]
     return Node(
         "combine",
@@ -184,6 +229,7 @@ PIPELINE = [
     replace_operators,
     transform_root,
     sdm_traversal,
+    fulldep_traversal,
     flatten_window,
     implicit_feature_cast,
     flatten_combine,

@@ -1,0 +1,70 @@
+"""Window (n-gram) index tests: the od:1 part rewrite must be
+result-identical to the positional match loop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from galago_git_spark.index.build import assign_doc_ids, build_index, open_index
+from galago_git_spark.index.window import build_window_postings
+from galago_git_spark.query.executor import compile_count, execute
+from galago_git_spark.query.parser import parse
+from galago_git_spark.query.traversals import transform
+from galago_git_spark.sources.corpus import synthetic_code_corpus
+
+
+@pytest.fixture(scope="module")
+def windowed_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("win") / "idx")
+    corpus = synthetic_code_corpus(spark, n_docs=150, seed=42)
+    build_index(corpus, d, positions=True)
+    numbered = assign_doc_ids(corpus)
+    build_window_postings(numbered, d, n=2)
+    return d
+
+
+def test_rewrite_equals_positional_loop(spark, windowed_index):
+    idx = open_index(spark, windowed_index)
+    assert idx.window_parts and 2 in idx.window_parts
+    node = transform(parse("#od:1(get_load0 run_sort_ctx0)"))
+    via_part = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node, idx).select("doc", "tf").collect()
+    }
+    # force the positional loop by hiding the window parts
+    idx_nopart = open_index(spark, windowed_index)
+    idx_nopart.window_parts = None
+    via_loop = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node, idx_nopart).select("doc", "tf").collect()
+    }
+    assert via_loop, "fixture must have adjacent pairs"
+    assert via_part == via_loop
+
+
+def test_sdm_identical_with_and_without_part(spark, windowed_index):
+    idx = open_index(spark, windowed_index)
+    idx_nopart = open_index(spark, windowed_index)
+    idx_nopart.window_parts = None
+    q = "#sdm(get_load0 run_sort_ctx0)"
+    a = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx, k=10).collect()]
+    b = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx_nopart, k=10).collect()]
+    assert a == b
+
+
+def test_frequency_threshold_prunes(spark, tmp_path):
+    corpus = synthetic_code_corpus(spark, n_docs=80, seed=42)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, positions=False)
+    numbered = assign_doc_ids(corpus)
+    build_window_postings(numbered, d, n=2, frequency_threshold=5)
+    idx = open_index(spark, d)
+    cfs = (
+        idx.window_parts[2]
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .agg(F.min("cf"))
+        .collect()[0][0]
+    )
+    assert cfs >= 5
