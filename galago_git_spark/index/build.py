@@ -155,6 +155,7 @@ def build_index(
             "path": path,
             "seconds": round(time.time() - t0, 3),
             "rows": rows,
+            "lineage": part_lineage(path),
         }
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)
@@ -313,6 +314,7 @@ class Index:
     collection_stats: CollectionStats
     extents: DataFrame | None = None
     window_parts: dict | None = None  # n -> ordered-shingle postings
+    priors: DataFrame | None = None  # (doc, prior) log-space static scores
 
     _termstats_cache: dict | None = None
 
@@ -335,8 +337,13 @@ def open_index(spark: SparkSession, index_dir: str) -> Index:
     )
     from galago_git_spark.index.window import load_window_parts
 
+    priors_path = os.path.join(index_dir, "priors")
+    priors = (
+        spark.read.parquet(priors_path) if os.path.exists(priors_path) else None
+    )
     return Index(
         extents=extents,
+        priors=priors,
         window_parts=load_window_parts(spark, index_dir) or None,
         spark=spark,
         index_dir=index_dir,
@@ -349,3 +356,60 @@ def open_index(spark: SparkSession, index_dir: str) -> Index:
             document_count=stats_row["document_count"],
         ),
     )
+
+
+def part_lineage(path: str) -> list[dict]:
+    """Per-partition lineage rows for a written part: one entry per
+    parquet file with its byte size and row count (from the parquet
+    footer). The analog of TupleFlow's checkpoint metadata — resume
+    decisions and audits read this instead of re-scanning data."""
+    out: list[dict] = []
+    try:
+        import pyarrow.parquet as pq
+
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, name)
+            out.append(
+                {
+                    "file": name,
+                    "bytes": os.path.getsize(fp),
+                    "rows": pq.ParquetFile(fp).metadata.num_rows,
+                }
+            )
+    except Exception:
+        pass
+    return out
+
+
+def build_prior_part(
+    priors: DataFrame, index_dir: str, num_partitions: int | None = None
+) -> str:
+    """Write the document-prior part — the DocumentPriorWriter analog
+    (``core/.../index/disk/DocumentPriorWriter.java``; built by
+    ``tools/apps/BuildSpecialPart.java``). ``priors``: (doc, prior) with
+    log-space scores. Returns the part path (also manifest-recorded)."""
+    spark = priors.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    path = os.path.join(index_dir, "priors")
+    t0 = time.time()
+    (
+        priors.select(F.col("doc").cast("long"), F.col("prior").cast("double"))
+        .repartitionByRange(num_partitions, "doc")
+        .sortWithinPartitions("doc")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    manifest = {"params": {}, "parts": {}}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    manifest["parts"]["priors"] = {
+        "path": path, "seconds": round(time.time() - t0, 3)
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return path

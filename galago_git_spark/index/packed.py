@@ -153,12 +153,22 @@ def build_packed(
     block_size: int = DEFAULT_BLOCK_SIZE,
     bucket_bits: int = DEFAULT_BUCKET_BITS,
     num_partitions: int | None = None,
+    resume: bool = False,
 ) -> dict:
     """Build the ``blocks`` part from the relational postings part.
 
     Returns the block-layer params (also recorded in manifest.json so the
-    query side picks up the same bucket geometry).
+    query side picks up the same bucket geometry). With ``resume=True`` a
+    manifest-committed blocks part with a _SUCCESS marker is reused.
     """
+    manifest_path_early = os.path.join(index_dir, "manifest.json")
+    if resume and os.path.exists(manifest_path_early):
+        with open(manifest_path_early) as f:
+            m = json.load(f)
+        if "blocks" in m.get("parts", {}) and os.path.exists(
+            os.path.join(index_dir, "blocks", "_SUCCESS")
+        ):
+            return m["parts"]["blocks"]["params"]
     t0 = time.time()
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -204,10 +214,13 @@ def build_packed(
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = json.load(f)
+    from galago_git_spark.index.build import part_lineage
+
     manifest["parts"]["blocks"] = {
         "path": blocks_path,
         "seconds": round(time.time() - t0, 3),
         "params": params,
+        "lineage": part_lineage(blocks_path),
     }
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)

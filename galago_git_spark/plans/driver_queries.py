@@ -521,6 +521,34 @@ FROM documents d JOIN toks t ON t.doc = d.doc_id
 WHERE d.n_chars > 150 AND d.n_chars < 300 AND list_contains(t.terms, 'data')"""
 
 
+def q_prior_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#combine:0=0.4:1=0.4:2=0.2(#bm25(table) #bm25(row) #prior()) — BM25
+    mixed with a static document prior (DocumentPriorWriter part analog);
+    prior = ln((n_chars+1)/301)."""
+    docs = _docs(spark, sf_dir)
+    idx = inline_index(docs)
+    idx.priors = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.log((F.col("n_chars") + 1) / F.lit(301.0)).alias("prior"),
+    )
+    return _ranked(
+        score_frame(
+            "#combine:0=0.4:1=0.4:2=0.2(#bm25(table) #bm25(row) #prior())",
+            idx,
+        )
+    )
+
+
+SQL_PRIOR_COMBINE = _rank_sql(
+    _sql_bm25([("table", 1.0), ("row", 1.0)])
+    + """,
+scored2 AS (
+  SELECT s.doc, 0.8 * s.s + 0.2 * ln((d.n_chars + 1) / 301.0) AS s
+  FROM scored s JOIN documents d ON d.doc_id = s.doc)""",
+    src="scored2",
+)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (PageRankFn.java:40-52 semantics, lambda=0.5) over a
     deterministic link graph: each document links to the next doc_id in
@@ -833,6 +861,68 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.8"""
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# E. multimodal plumbing (deterministic fake codec — see operators/multimodal)
+# ---------------------------------------------------------------------------
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-media feature extraction over a synthetic media table derived
+    from ``documents`` (payload = UTF-8 text bytes); first two feature
+    dims surfaced as scalars for the oracle compare."""
+    from galago_git_spark.operators.multimodal import media_features, synthetic_media
+
+    media = synthetic_media(_docs(spark, sf_dir))
+    feats = media_features(media)
+    return feats.select(
+        "doc",
+        "kind",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+    )
+
+
+_HEXV = "(strpos('0123456789abcdef', {c}) - 1)"
+
+
+def _sql_hex_byte(h: str, i: int) -> str:
+    c1 = _HEXV.format(c=f"substr({h}, {2 * i + 1}, 1)")
+    c2 = _HEXV.format(c=f"substr({h}, {2 * i + 2}, 1)")
+    return f"(16 * {c1} + {c2})"
+
+
+SQL_MEDIA_FEATURES = f"""WITH m AS (
+  SELECT doc_id AS doc,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::int] AS kind,
+         sha256(coalesce(text, '')) AS h
+  FROM documents)
+SELECT doc, kind,
+       round({_sql_hex_byte('h', 0)} / 256.0, 6) AS f0,
+       round({_sql_hex_byte('h', 1)} / 256.0, 6) AS f1
+FROM m"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (every 7th frame by metadata)."""
+    from galago_git_spark.operators.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(_docs(spark, sf_dir))
+    return (
+        sample_frames(media, every_n=7)
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.max("frame_no").alias("max_frame"))
+    )
+
+
+SQL_FRAME_SAMPLE = """WITH v AS (
+  SELECT doc_id AS doc,
+         length(coalesce(text, '')) % 100 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT doc,
+       (greatest(n_frames - 1, 0) // 7 + 1)::bigint AS n_sampled,
+       ((greatest(n_frames - 1, 0) // 7) * 7)::int AS max_frame
+FROM v"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fti_postings": q_postings,
@@ -861,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_reject_filter": q_reject_filter,
         "fti_inside_field": q_inside_field,
         "fti_field_between": q_field_between,
+        "fti_prior_combine": q_prior_combine,
         "graph_pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -870,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_token_counts": q_token_counts,
         "text_fingerprint": q_fingerprint,
+        "mm_media_features": q_media_features,
+        "mm_frame_sample": q_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_lsh_buckets,
         "dedup_embedding_cosine": q_embedding_cosine_pairs,
@@ -900,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "fti_reject_filter": SQL_REJECT,
         "fti_inside_field": SQL_INSIDE_FIELD,
         "fti_field_between": SQL_FIELD_BETWEEN,
+        "fti_prior_combine": SQL_PRIOR_COMBINE,
         "graph_pagerank": SQL_PAGERANK,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
@@ -909,6 +1003,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": SQL_LANG_ID,
         "text_token_counts": SQL_TOKEN_COUNTS,
         "text_fingerprint": SQL_FINGERPRINT,
+        "mm_media_features": SQL_MEDIA_FEATURES,
+        "mm_frame_sample": SQL_FRAME_SAMPLE,
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_lsh_buckets": SQL_LSH_BUCKETS,
         "dedup_embedding_cosine": SQL_EMB_PAIRS,

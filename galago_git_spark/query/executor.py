@@ -127,9 +127,13 @@ def compile_count(node: Node, index: Index) -> DataFrame:
     op = node.operator
     if op in ("counts", "extents", "text"):
         term = str(node.default_param)
-        return index.postings.filter(F.col("term") == term).select(
-            "doc", "tf", "positions"
-        )
+        matched = index.postings.filter(F.col("term") == term)
+        if "positions" not in matched.columns:
+            # count-only build (positions=False) — ExtentsToCountLeaf shape
+            matched = matched.withColumn(
+                "positions", F.lit(None).cast("array<int>")
+            )
+        return matched.select("doc", "tf", "positions")
     if op == "null":
         return index.spark.createDataFrame([], _COUNT_SCHEMA)
     if op in ("ordered", "unordered"):
@@ -344,7 +348,7 @@ def _scorer_column(
 
 def _is_scorer(node: Node) -> bool:
     return node.operator in (
-        "bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "logcount"
+        "bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "logcount", "prior"
     )
 
 
@@ -514,16 +518,42 @@ def _combine_general(
     scorers: list[Node], weights: list[float], index: Index
 ) -> DataFrame:
     cs = index.collection_stats
-    frames = [compile_count(s.children[0], index) for s in scorers]
-    stats = [node_stats(s.children[0], index) for s in scorers]
-    candidates = (
-        reduce(DataFrame.unionByName, [f.select("doc") for f in frames])
-        .distinct()
-        .join(index.lengths, "doc", "inner")
-    )
+    frames = [
+        None if s.operator == "prior" else compile_count(s.children[0], index)
+        for s in scorers
+    ]
+    stats = [
+        None if f is None else node_stats(s.children[0], index)
+        for s, f in zip(scorers, frames)
+    ]
+    count_frames = [f for f in frames if f is not None]
+    if count_frames:
+        candidates = (
+            reduce(DataFrame.unionByName, [f.select("doc") for f in count_frames])
+            .distinct()
+            .join(index.lengths, "doc", "inner")
+        )
+    else:
+        # pure-prior query: every document is a candidate
+        candidates = index.lengths
     cur = candidates
     exprs = []
     for i, (w, s, f, ts) in enumerate(zip(weights, scorers, frames, stats)):
+        if s.operator == "prior":
+            # static document prior (DocumentPriorWriter part); missing
+            # docs score the configured default (DocumentPriorReader's
+            # minimumScore), default 0
+            if index.priors is None:
+                raise ValueError("#prior requires a priors part (build_prior_part)")
+            dflt = s.get_float("default", 0.0)
+            cur = cur.join(
+                index.priors.select("doc", F.col("prior").alias(f"pr_{i}")),
+                "doc", "left",
+            )
+            exprs.append(
+                F.lit(w) * F.coalesce(F.col(f"pr_{i}"), F.lit(dflt))
+            )
+            continue
         cur = cur.join(
             f.select("doc", F.col("tf").alias(f"tf_{i}")), "doc", "left"
         )

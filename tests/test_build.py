@@ -104,3 +104,42 @@ def test_resume_skips_completed_parts(spark, corpus, tmp_path):
     assert os.path.exists(os.path.join(index_dir, "termstats", "_SUCCESS"))
     idx = open_index(spark, index_dir)
     assert idx.termstats.count() > 0
+
+
+def test_lineage_and_prior_part(spark, corpus, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from galago_git_spark.index.build import build_prior_part
+    from galago_git_spark.query.executor import score_frame
+
+    index_dir = str(tmp_path / "idx3")
+    build_index(corpus, index_dir, positions=False)
+    with open(index_dir + "/manifest.json") as f:
+        manifest = _json.load(f)
+    # per-partition lineage: every part lists its files with byte+row counts
+    for part in ("names", "lengths", "postings", "termstats"):
+        lineage = manifest["parts"][part]["lineage"]
+        assert lineage and all(e["rows"] >= 0 and e["bytes"] > 0 for e in lineage)
+    n_docs = corpus.count()
+    assert sum(e["rows"] for e in manifest["parts"]["names"]["lineage"]) == n_docs
+
+    # priors part: static score mixed into ranking
+    idx = open_index(spark, index_dir)
+    priors = idx.lengths.select(
+        "doc", (F.col("length") / 1000.0).alias("prior")
+    )
+    build_prior_part(priors, index_dir)
+    idx2 = open_index(spark, index_dir)
+    assert idx2.priors is not None
+    scored = score_frame(
+        "#combine:0=0.5:1=0.5(#bm25(def) #prior())", idx2, default_scorer="bm25"
+    )
+    base = score_frame("#combine(#bm25(def))", idx2, default_scorer="bm25")
+    sd = {r["doc"]: r["score"] for r in scored.collect()}
+    bd = {r["doc"]: r["score"] for r in base.collect()}
+    lens = {r["doc"]: r["length"] for r in idx2.lengths.collect()}
+    assert sd.keys() == bd.keys()
+    for d in sd:
+        assert sd[d] == pytest.approx(0.5 * bd[d] + 0.5 * lens[d] / 1000.0, abs=1e-9)
