@@ -37,8 +37,9 @@ EXTENT_TYPE = T.ArrayType(
     )
 )
 
-FIELDS = ("comment", "def", "lead")
+FIELDS = ("comment", "def", "lead", "tail")
 LEAD_K = 10  # the `lead` field spans the first K tokens (title surrogate)
+TAIL_K = 10  # the `tail` field spans the last K tokens (footer surrogate)
 
 
 def line_field(line: str) -> str | None:
@@ -66,6 +67,7 @@ def field_extents_py(text: str | None) -> list[tuple[str, int, int]]:
         offset += len(toks)
     if offset > 0:
         out.append(("lead", 1, min(offset, LEAD_K) + 1))
+        out.append(("tail", max(1, offset - TAIL_K + 1), offset + 1))
     return out
 
 

@@ -521,6 +521,63 @@ FROM documents d JOIN toks t ON t.doc = d.doc_id
 WHERE d.n_chars > 150 AND d.n_chars < 300 AND list_contains(t.terms, 'data')"""
 
 
+def q_prms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#prms(data table) over fields (lead, tail) — the PRM-S per-field
+    Dirichlet mixture with P(t|F) weights (PRMS2Traversal.java:85-185),
+    field-scoped lengths/statistics from the extents part."""
+    from galago_git_spark.query.prms import prms_expand
+
+    idx = inline_index(_docs(spark, sf_dir), fields=True)
+    node = prms_expand(["data", "table"], ["lead", "tail"], idx)
+    return _ranked(score_frame(node, idx))
+
+
+def _sql_prms(t1: str, t2: str, mu: float = 1500.0) -> str:
+    def tf_cte(name: str, term: str, fext: str) -> str:
+        return f"""{name} AS (
+  SELECT p.doc, count(*)::double AS tf
+  FROM pos p JOIN {fext} f ON f.doc = p.doc
+  WHERE p.term = '{term}' AND p.pos >= f.b AND p.pos + 1 <= f.e
+  GROUP BY p.doc)"""
+
+    def bg(cf: str) -> str:
+        return f"(CASE WHEN {cf} > 0 THEN {cf} ELSE 0.5 END / cfs.clf)"
+
+    def mix(tl: str, tt: str, cfl: str, cft: str) -> str:
+        # normalized P(t|F) weights share the clf denominator -> ratios
+        wl = f"(cfs.{cfl} / greatest(cfs.{cfl} + cfs.{cft}, 1e-300))"
+        wt = f"(cfs.{cft} / greatest(cfs.{cfl} + cfs.{cft}, 1e-300))"
+        sl = f"((coalesce({tl}.tf, 0) + {mu} * {bg('cfs.' + cfl)}) / (fl.flen + {mu}))"
+        st = f"((coalesce({tt}.tf, 0) + {mu} * {bg('cfs.' + cft)}) / (fl.flen + {mu}))"
+        return f"ln({wl} * {sl} + {wt} * {st})"
+
+    return f"""WITH {TOKS}, {POS}, {LENS},
+fl AS (SELECT doc, least(length, 10)::double AS flen FROM lens WHERE length > 0),
+flead AS (SELECT doc, 1 AS b, least(length, 10) + 1 AS e FROM lens WHERE length > 0),
+ftail AS (SELECT doc, greatest(1, length - 9) AS b, length + 1 AS e FROM lens WHERE length > 0),
+{tf_cte('t1l', t1, 'flead')},
+{tf_cte('t1t', t1, 'ftail')},
+{tf_cte('t2l', t2, 'flead')},
+{tf_cte('t2t', t2, 'ftail')},
+cfs AS (SELECT
+  (SELECT coalesce(sum(tf), 0) FROM t1l) AS cf1l,
+  (SELECT coalesce(sum(tf), 0) FROM t1t) AS cf1t,
+  (SELECT coalesce(sum(tf), 0) FROM t2l) AS cf2l,
+  (SELECT coalesce(sum(tf), 0) FROM t2t) AS cf2t,
+  (SELECT sum(flen) FROM fl) AS clf),
+cand AS (SELECT doc FROM t1l UNION SELECT doc FROM t1t
+         UNION SELECT doc FROM t2l UNION SELECT doc FROM t2t),
+scored AS (
+  SELECT c.doc,
+         {mix('t1l', 't1t', 'cf1l', 'cf1t')}
+       + {mix('t2l', 't2t', 'cf2l', 'cf2t')} AS s
+  FROM cand c
+  JOIN fl ON fl.doc = c.doc
+  LEFT JOIN t1l ON t1l.doc = c.doc LEFT JOIN t1t ON t1t.doc = c.doc
+  LEFT JOIN t2l ON t2l.doc = c.doc LEFT JOIN t2t ON t2t.doc = c.doc
+  CROSS JOIN cfs)"""
+
+
 def q_prior_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#combine:0=0.4:1=0.4:2=0.2(#bm25(table) #bm25(row) #prior()) — BM25
     mixed with a static document prior (DocumentPriorWriter part analog);
@@ -951,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_reject_filter": q_reject_filter,
         "fti_inside_field": q_inside_field,
         "fti_field_between": q_field_between,
+        "fti_prms_topk": q_prms,
         "fti_prior_combine": q_prior_combine,
         "graph_pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
@@ -993,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "fti_reject_filter": SQL_REJECT,
         "fti_inside_field": SQL_INSIDE_FIELD,
         "fti_field_between": SQL_FIELD_BETWEEN,
+        "fti_prms_topk": _rank_sql(_sql_prms("data", "table")),
         "fti_prior_combine": SQL_PRIOR_COMBINE,
         "graph_pagerank": SQL_PAGERANK,
         "dedup_exact": SQL_DEDUP_EXACT,

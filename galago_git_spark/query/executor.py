@@ -413,9 +413,12 @@ def _execute_combine(node: Node, index: Index, default_scorer: str) -> DataFrame
         node.indexed_weights(), node.get_bool("norm", True)
     )
     children = node.children
-    # wrap any stray count children (defensive; traversal normally did it)
+    # wrap any stray count children (defensive; traversal normally did it);
+    # score-typed subtrees (#wsum) pass through
     children = [
-        c if _is_scorer(c) else Node(default_scorer, {}, [c]) for c in children
+        c if (_is_scorer(c) or c.operator == "wsum")
+        else Node(default_scorer, {}, [c])
+        for c in children
     ]
     if _flat_eligible(children):
         return _combine_flat(children, weights, index)
@@ -514,22 +517,80 @@ def _combine_flat(
     return per_doc.select("doc", score.alias("score"))
 
 
+def field_lengths(index: Index, field: str) -> DataFrame:
+    """(doc, length) for one field — sum of its extent widths (the
+    DiskLengthsReader field-lengths view, ``DiskLengthsReader.java:37-89``)."""
+    if index.extents is None:
+        raise ValueError(f"field lengths for {field!r} need a fields build")
+    return (
+        index.extents.filter(F.col("field") == field)
+        .groupBy("doc")
+        .agg(F.sum(F.col("end") - F.col("begin")).cast("int").alias("length"))
+    )
+
+
+def field_collection_stats(index: Index, field: str) -> CollectionStats:
+    """FieldStatistics for a field's lengths (AnnotateCollectionStatistics
+    over ``#lengths:field``)."""
+    row = field_lengths(index, field).agg(
+        F.sum("length").alias("cl"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return CollectionStats(int(row["cl"] or 0), max(int(row["n"] or 0), 1))
+
+
+def _candidate_docs(node: Node, index: Index) -> DataFrame | None:
+    """Docs a score-typed subtree can match (its count leaves' union)."""
+    if node.operator == "wsum":
+        frames = [
+            f
+            for c in node.children
+            for f in [_candidate_docs(c if _is_scorer(c) else Node("dirichlet", {}, [c]), index)]
+            if f is not None
+        ]
+        return reduce(DataFrame.unionByName, frames) if frames else None
+    if node.operator == "prior":
+        return None
+    return compile_count(node.children[0], index).select("doc")
+
+
+def _scorer_env(
+    s: Node, i: int, cur: DataFrame, index: Index,
+    fstats_cache: dict[str, CollectionStats],
+):
+    """Resolve a scorer's (tf column, length column, collection stats),
+    honoring a ``lengths=field`` parameter (field-scoped scoring — the
+    PRMS shape, PRMS2Traversal.java:160-166)."""
+    f = compile_count(s.children[0], index)
+    ts = node_stats(s.children[0], index)
+    cur = cur.join(f.select("doc", F.col("tf").alias(f"tf_{i}")), "doc", "left")
+    tf_i = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+    field = s.get_str("lengths")
+    if field:
+        cur = cur.join(
+            field_lengths(index, field).select(
+                "doc", F.col("length").alias(f"len_{i}")
+            ),
+            "doc", "left",
+        )
+        length_col = F.coalesce(F.col(f"len_{i}"), F.lit(0)).cast("double")
+        if field not in fstats_cache:
+            fstats_cache[field] = field_collection_stats(index, field)
+        cs = fstats_cache[field]
+    else:
+        length_col = F.col("length")
+        cs = index.collection_stats
+    return cur, tf_i, length_col, ts, cs
+
+
 def _combine_general(
     scorers: list[Node], weights: list[float], index: Index
 ) -> DataFrame:
-    cs = index.collection_stats
-    frames = [
-        None if s.operator == "prior" else compile_count(s.children[0], index)
-        for s in scorers
+    cand_frames = [
+        f for s in scorers for f in [_candidate_docs(s, index)] if f is not None
     ]
-    stats = [
-        None if f is None else node_stats(s.children[0], index)
-        for s, f in zip(scorers, frames)
-    ]
-    count_frames = [f for f in frames if f is not None]
-    if count_frames:
+    if cand_frames:
         candidates = (
-            reduce(DataFrame.unionByName, [f.select("doc") for f in count_frames])
+            reduce(DataFrame.unionByName, cand_frames)
             .distinct()
             .join(index.lengths, "doc", "inner")
         )
@@ -537,8 +598,9 @@ def _combine_general(
         # pure-prior query: every document is a candidate
         candidates = index.lengths
     cur = candidates
+    fstats_cache: dict[str, CollectionStats] = {}
     exprs = []
-    for i, (w, s, f, ts) in enumerate(zip(weights, scorers, frames, stats)):
+    for i, (w, s) in enumerate(zip(weights, scorers)):
         if s.operator == "prior":
             # static document prior (DocumentPriorWriter part); missing
             # docs score the configured default (DocumentPriorReader's
@@ -554,40 +616,45 @@ def _combine_general(
                 F.lit(w) * F.coalesce(F.col(f"pr_{i}"), F.lit(dflt))
             )
             continue
-        cur = cur.join(
-            f.select("doc", F.col("tf").alias(f"tf_{i}")), "doc", "left"
-        )
-        tf_i = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
-        exprs.append(F.lit(w) * _scorer_column(s, tf_i, F.col("length"), ts, cs))
+        if s.operator == "wsum":
+            # score-typed subtree: its log-mixture column over the SAME
+            # candidate row set (every candidate gets background mass)
+            cur, ws_col = _wsum_column(s, i, cur, index, fstats_cache)
+            exprs.append(F.lit(w) * ws_col)
+            continue
+        cur, tf_i, length_col, ts, cs = _scorer_env(s, i, cur, index, fstats_cache)
+        exprs.append(F.lit(w) * _scorer_column(s, tf_i, length_col, ts, cs))
     score = reduce(lambda a, b: a + b, exprs)
     return cur.select("doc", score.alias("score"))
 
 
-def _execute_wsum(node: Node, index: Index) -> DataFrame:
-    """#wsum — log-space probability mixture: log(sum w_i * exp(s_i))
-    (WeightedSumIterator.java:57-63). Built on the general combine frame
-    with per-child score columns."""
+def _wsum_column(
+    node: Node, tag: int | str, cur: DataFrame, index: Index,
+    fstats_cache: dict[str, CollectionStats],
+) -> tuple[DataFrame, Column]:
+    """#wsum as a column over an existing candidate frame:
+    log(sum w_i * exp(s_i)) (WeightedSumIterator.java:57-63)."""
     weights = normalize_weights(node.indexed_weights(), node.get_bool("norm", True))
     scorers = [
         c if _is_scorer(c) else Node("dirichlet", {}, [c]) for c in node.children
     ]
-    cs = index.collection_stats
-    frames = [compile_count(s.children[0], index) for s in scorers]
-    stats = [node_stats(s.children[0], index) for s in scorers]
-    candidates = (
-        reduce(DataFrame.unionByName, [f.select("doc") for f in frames])
-        .distinct()
-        .join(index.lengths, "doc", "inner")
-    )
-    cur = candidates
     score_cols = []
-    for i, (w, s, f, ts) in enumerate(zip(weights, scorers, frames, stats)):
-        cur = cur.join(
-            f.select("doc", F.col("tf").alias(f"tf_{i}")), "doc", "left"
+    for j, (w, s) in enumerate(zip(weights, scorers)):
+        cur, tf_i, length_col, ts, cs = _scorer_env(
+            s, f"{tag}_{j}", cur, index, fstats_cache
         )
-        tf_i = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
         score_cols.append(
-            F.lit(w) * F.exp(_scorer_column(s, tf_i, F.col("length"), ts, cs))
+            F.lit(w) * F.exp(_scorer_column(s, tf_i, length_col, ts, cs))
         )
     total = reduce(lambda a, b: a + b, score_cols)
-    return cur.select("doc", F.log(total).alias("score"))
+    return cur, F.log(total)
+
+
+def _execute_wsum(node: Node, index: Index) -> DataFrame:
+    """Top-level #wsum query."""
+    cand = _candidate_docs(node, index)
+    if cand is None:
+        raise ValueError("#wsum needs at least one count-backed child")
+    candidates = cand.distinct().join(index.lengths, "doc", "inner")
+    cur, col = _wsum_column(node, "w", candidates, index, {})
+    return cur.select("doc", col.alias("score"))
