@@ -521,6 +521,66 @@ FROM documents d JOIN toks t ON t.doc = d.doc_id
 WHERE d.n_chars > 150 AND d.n_chars < 300 AND list_contains(t.terms, 'data')"""
 
 
+def q_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval (RankedPassageModel.java:57-97): BM25 over
+    size-30/shift-15 sliding passages, top-10 on rounded scores with
+    (doc, begin) tie-break."""
+    from galago_git_spark.query.passages import passage_bm25_topk
+
+    idx = inline_index(_docs(spark, sf_dir))
+    scored = passage_bm25_topk(idx, ["data", "table"], k=None, size=30, shift=15)
+    r = scored.withColumn("score", F.round(F.col("score"), 6))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc(), F.col("begin").asc())
+    return (
+        r.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc", "begin", "end", "score", "rank")
+    )
+
+
+def _sql_passage(t1: str, t2: str, size: int = 30, shift: int = 15,
+                 b: float = 0.75, k1: float = 1.2) -> str:
+    return f"""WITH {TOKS}, {POS}, {LENS}, {CS},
+qt AS (SELECT * FROM (VALUES ('{t1}', 0.5), ('{t2}', 0.5)) AS q(term, w)),
+post AS (SELECT term, doc, count(*)::double AS tf FROM pos
+         WHERE term IN ('{t1}', '{t2}') GROUP BY term, doc),
+ts AS (SELECT term, count(*)::double AS df FROM post GROUP BY term),
+cand AS (SELECT DISTINCT doc FROM post),
+pass AS (
+  SELECT c.doc, l.length,
+         unnest(range(0, greatest(ceil(l.length / {shift}.0)::int, 1))) AS k
+  FROM cand c JOIN lens l USING (doc)),
+pgeo AS (
+  SELECT doc, k, (k * {shift})::int AS "begin",
+         least(k * {shift} + {size}, length)::int AS "end",
+         (least(k * {shift} + {size}, length) - k * {shift})::double AS plen
+  FROM pass),
+ptf AS (
+  SELECT p.doc, u.k, p.term, count(*)::double AS tf
+  FROM pos p,
+       unnest(range(greatest(ceil((p.pos - {size}) / {shift}.0)::int, 0),
+                    ((p.pos - 1) // {shift})::int + 1)) AS u(k)
+  WHERE p.term IN ('{t1}', '{t2}')
+  GROUP BY p.doc, u.k, p.term),
+scored AS (
+  SELECT g.doc, g."begin", g."end",
+         sum(CASE WHEN pt.term IS NULL THEN 0
+             ELSE q.w * ln(cs.n / (ts.df + 0.5)) * (pt.tf * {k1 + 1})
+                  / (pt.tf + {k1} * ({1 - b} + {b} * g.plen / (cs.cl / cs.n)))
+             END) AS s
+  FROM pgeo g
+  LEFT JOIN ptf pt ON pt.doc = g.doc AND pt.k = g.k
+  LEFT JOIN qt q ON q.term = pt.term
+  LEFT JOIN ts ON ts.term = pt.term
+  CROSS JOIN cs
+  GROUP BY g.doc, g."begin", g."end")
+SELECT doc, "begin", "end", score, rank FROM (
+  SELECT doc, "begin", "end", round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc ASC, "begin" ASC) AS rank
+  FROM scored)
+WHERE rank <= 10"""
+
+
 def q_prms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#prms(data table) over fields (lead, tail) — the PRM-S per-field
     Dirichlet mixture with P(t|F) weights (PRMS2Traversal.java:85-185),
@@ -1008,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_reject_filter": q_reject_filter,
         "fti_inside_field": q_inside_field,
         "fti_field_between": q_field_between,
+        "fti_passage_topk": q_passage,
         "fti_prms_topk": q_prms,
         "fti_prior_combine": q_prior_combine,
         "graph_pagerank": q_pagerank,
@@ -1051,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "fti_reject_filter": SQL_REJECT,
         "fti_inside_field": SQL_INSIDE_FIELD,
         "fti_field_between": SQL_FIELD_BETWEEN,
+        "fti_passage_topk": _sql_passage("data", "table"),
         "fti_prms_topk": _rank_sql(_sql_prms("data", "table")),
         "fti_prior_combine": SQL_PRIOR_COMBINE,
         "graph_pagerank": SQL_PAGERANK,

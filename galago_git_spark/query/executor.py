@@ -416,7 +416,7 @@ def _execute_combine(node: Node, index: Index, default_scorer: str) -> DataFrame
     # wrap any stray count children (defensive; traversal normally did it);
     # score-typed subtrees (#wsum) pass through
     children = [
-        c if (_is_scorer(c) or c.operator == "wsum")
+        c if (_is_scorer(c) or c.operator in ("wsum", "scale", "log"))
         else Node(default_scorer, {}, [c])
         for c in children
     ]
@@ -540,11 +540,11 @@ def field_collection_stats(index: Index, field: str) -> CollectionStats:
 
 def _candidate_docs(node: Node, index: Index) -> DataFrame | None:
     """Docs a score-typed subtree can match (its count leaves' union)."""
-    if node.operator == "wsum":
+    if node.operator in ("wsum", "scale", "log"):
         frames = [
             f
             for c in node.children
-            for f in [_candidate_docs(c if _is_scorer(c) else Node("dirichlet", {}, [c]), index)]
+            for f in [_candidate_docs(c if _is_scorer(c) or c.operator in ("wsum", "scale", "log") else Node("dirichlet", {}, [c]), index)]
             if f is not None
         ]
         return reduce(DataFrame.unionByName, frames) if frames else None
@@ -616,16 +616,36 @@ def _combine_general(
                 F.lit(w) * F.coalesce(F.col(f"pr_{i}"), F.lit(dflt))
             )
             continue
-        if s.operator == "wsum":
-            # score-typed subtree: its log-mixture column over the SAME
-            # candidate row set (every candidate gets background mass)
-            cur, ws_col = _wsum_column(s, i, cur, index, fstats_cache)
-            exprs.append(F.lit(w) * ws_col)
-            continue
-        cur, tf_i, length_col, ts, cs = _scorer_env(s, i, cur, index, fstats_cache)
-        exprs.append(F.lit(w) * _scorer_column(s, tf_i, length_col, ts, cs))
+        cur, col = _score_column(s, str(i), cur, index, fstats_cache)
+        exprs.append(F.lit(w) * col)
     score = reduce(lambda a, b: a + b, exprs)
     return cur.select("doc", score.alias("score"))
+
+
+def _score_column(
+    s: Node, tag: str, cur: DataFrame, index: Index,
+    fstats_cache: dict[str, CollectionStats],
+) -> tuple[DataFrame, Column]:
+    """Score-typed node -> score column over the candidate frame: scorer
+    leaves, #wsum mixtures, #scale (ScaleIterator.java:24-28) and #log
+    (LogarithmIterator.java) score transforms."""
+    if s.operator == "wsum":
+        return _wsum_column(s, tag, cur, index, fstats_cache)
+    if s.operator == "scale":
+        factor = s.get_float("default", 1.0)
+        child = s.children[0]
+        if not (_is_scorer(child) or child.operator in ("wsum", "scale", "log")):
+            child = Node("dirichlet", {}, [child])
+        cur, col = _score_column(child, tag + "s", cur, index, fstats_cache)
+        return cur, F.lit(factor) * col
+    if s.operator == "log":
+        child = s.children[0]
+        if not (_is_scorer(child) or child.operator in ("wsum", "scale", "log")):
+            child = Node("dirichlet", {}, [child])
+        cur, col = _score_column(child, tag + "l", cur, index, fstats_cache)
+        return cur, F.log(col)
+    cur, tf_i, length_col, ts, cs = _scorer_env(s, tag, cur, index, fstats_cache)
+    return cur, _scorer_column(s, tf_i, length_col, ts, cs)
 
 
 def _wsum_column(
