@@ -326,8 +326,9 @@ def q_sdm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(score_frame("#sdm(fast table)", idx))
 
 
-def _sql_sdm(t1: str, t2: str, mu: float = 1500.0) -> str:
-    # flattened weights: 0.8 * 1/2 per unigram, 0.15 od, 0.05 uw
+def _sql_sdm(t1: str, t2: str, mu: float = 1500.0,
+             w_uni: float = 0.4, w_od: float = 0.15, w_uw: float = 0.05) -> str:
+    # default flattened weights: 0.8 * 1/2 per unigram, 0.15 od, 0.05 uw
     def dir_term(tf_expr: str, cf_expr: str) -> str:
         return (
             f"ln(({tf_expr} + {mu} * (CASE WHEN {cf_expr} > 0 THEN {cf_expr} "
@@ -351,14 +352,28 @@ cf AS (SELECT (SELECT coalesce(sum(tf), 0) FROM ua) AS cf_a,
 cand AS (SELECT doc FROM pa UNION SELECT doc FROM pb),
 scored AS (
   SELECT c.doc,
-         0.4 * {dir_term('coalesce(ua.tf, 0)', 'cf.cf_a')}
-       + 0.4 * {dir_term('coalesce(ub.tf, 0)', 'cf.cf_b')}
-       + 0.15 * {dir_term('coalesce(od.tf, 0)', 'cf.cf_od')}
-       + 0.05 * {dir_term('coalesce(uwm.tf, 0)', 'cf.cf_uw')} AS s
+         {w_uni} * {dir_term('coalesce(ua.tf, 0)', 'cf.cf_a')}
+       + {w_uni} * {dir_term('coalesce(ub.tf, 0)', 'cf.cf_b')}
+       + {w_od} * {dir_term('coalesce(od.tf, 0)', 'cf.cf_od')}
+       + {w_uw} * {dir_term('coalesce(uwm.tf, 0)', 'cf.cf_uw')} AS s
   FROM cand c
   LEFT JOIN ua USING (doc) LEFT JOIN ub USING (doc)
   LEFT JOIN od USING (doc) LEFT JOIN uwm USING (doc)
   JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cf)"""
+
+
+def q_wsdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#wsdm(fast table) with default feature lambdas
+    (WeightedSequentialDependenceTraversal.java:102-108): unnormalized
+    0.8/0.8 unigrams + 0.1 #od:1 + 0.1 #uw:8 under Dirichlet."""
+    from galago_git_spark.query.wsdm import wsdm_expand
+
+    idx = inline_index(_docs(spark, sf_dir))
+    node = wsdm_expand(["fast", "table"], idx)
+    return _ranked(score_frame(node, idx))
+
+
+SQL_WSDM = None  # assigned below (reuses the SDM CTE chain)
 
 
 def q_wsum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,6 +651,60 @@ scored AS (
   LEFT JOIN t1l ON t1l.doc = c.doc LEFT JOIN t1t ON t1t.doc = c.doc
   LEFT JOIN t2l ON t2l.doc = c.doc LEFT JOIN t2t ON t2t.doc = c.doc
   CROSS JOIN cfs)"""
+
+
+def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F over (lead, tail) fields with weights 2.0/1.0
+    (BM25FieldScorer + BM25FCombinationIterator assembly)."""
+    from galago_git_spark.query.bm25f import bm25f_expand
+
+    idx = inline_index(_docs(spark, sf_dir), fields=True)
+    node = bm25f_expand(
+        ["data", "table"], ["lead", "tail"], idx,
+        field_weights={"lead": 2.0, "tail": 1.0},
+    )
+    return _ranked(score_frame(node, idx))
+
+
+def _sql_bm25f(t1: str, t2: str, wl: float = 2.0, wt: float = 1.0,
+               b: float = 0.5, K: float = 0.5) -> str:
+    def tf_cte(name: str, term: str, fext: str) -> str:
+        return f"""{name} AS (
+  SELECT p.doc, count(*)::double AS tf
+  FROM pos p JOIN {fext} f ON f.doc = p.doc
+  WHERE p.term = '{term}' AND p.pos >= f.b AND p.pos + 1 <= f.e
+  GROUP BY p.doc)"""
+
+    def xbar(src: str) -> str:
+        return f"(coalesce({src}.tf, 0) / (1.0 + {b} * (fl.flen / stats.avgf - 1.0)))"
+
+    def sat(t_l: str, t_t: str, idf: str) -> str:
+        s = f"({wl} * {xbar(t_l)} + {wt} * {xbar(t_t)})"
+        return f"(1.0 * {s} / ({K} + {s}) * {idf})"
+
+    return f"""WITH {TOKS}, {POS}, {LENS}, {CS}, {TOK},
+fl AS (SELECT doc, least(length, 10)::double AS flen FROM lens WHERE length > 0),
+flead AS (SELECT doc, 1 AS b, least(length, 10) + 1 AS e FROM lens WHERE length > 0),
+ftail AS (SELECT doc, greatest(1, length - 9) AS b, length + 1 AS e FROM lens WHERE length > 0),
+{tf_cte('t1l', t1, 'flead')},
+{tf_cte('t1t', t1, 'ftail')},
+{tf_cte('t2l', t2, 'flead')},
+{tf_cte('t2t', t2, 'ftail')},
+dfs AS (SELECT
+  (SELECT count(DISTINCT doc) FROM tok WHERE term = '{t1}')::double AS df1,
+  (SELECT count(DISTINCT doc) FROM tok WHERE term = '{t2}')::double AS df2),
+stats AS (SELECT (SELECT sum(flen) FROM fl) / (SELECT count(*) FROM fl) AS avgf),
+cand AS (SELECT doc FROM t1l UNION SELECT doc FROM t1t
+         UNION SELECT doc FROM t2l UNION SELECT doc FROM t2t),
+scored AS (
+  SELECT c.doc,
+         {sat('t1l', 't1t', 'ln(cs.n / (dfs.df1 + 0.5))')}
+       + {sat('t2l', 't2t', 'ln(cs.n / (dfs.df2 + 0.5))')} AS s
+  FROM cand c
+  JOIN fl ON fl.doc = c.doc
+  LEFT JOIN t1l ON t1l.doc = c.doc LEFT JOIN t1t ON t1t.doc = c.doc
+  LEFT JOIN t2l ON t2l.doc = c.doc LEFT JOIN t2t ON t2t.doc = c.doc
+  CROSS JOIN cs CROSS JOIN dfs CROSS JOIN stats)"""
 
 
 def q_prior_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_ordered_window": q_ordered_window,
         "fti_unordered_window": q_unordered_window,
         "fti_sdm_topk": q_sdm,
+        "fti_wsdm_topk": q_wsdm,
         "fti_wsum_topk": q_wsum,
         "fti_synonym": q_synonym_counts,
         "fti_mincount": q_mincount,
@@ -1070,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_field_between": q_field_between,
         "fti_passage_topk": q_passage,
         "fti_prms_topk": q_prms,
+        "fti_bm25f_topk": q_bm25f,
         "fti_prior_combine": q_prior_combine,
         "graph_pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
@@ -1103,6 +1174,9 @@ def oracle_sql() -> dict[str, str]:
         "fti_ordered_window": SQL_ORDERED_WINDOW,
         "fti_unordered_window": SQL_UNORDERED_WINDOW,
         "fti_sdm_topk": _rank_sql(_sql_sdm("fast", "table")),
+        "fti_wsdm_topk": _rank_sql(
+            _sql_sdm("fast", "table", w_uni=0.8, w_od=0.1, w_uw=0.1)
+        ),
         "fti_wsum_topk": _rank_sql(_sql_wsum("fast", "table")),
         "fti_synonym": SQL_SYNONYM,
         "fti_mincount": SQL_MINCOUNT,
@@ -1114,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         "fti_field_between": SQL_FIELD_BETWEEN,
         "fti_passage_topk": _sql_passage("data", "table"),
         "fti_prms_topk": _rank_sql(_sql_prms("data", "table")),
+        "fti_bm25f_topk": _rank_sql(_sql_bm25f("data", "table")),
         "fti_prior_combine": SQL_PRIOR_COMBINE,
         "graph_pagerank": SQL_PAGERANK,
         "dedup_exact": SQL_DEDUP_EXACT,

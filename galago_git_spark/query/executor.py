@@ -68,6 +68,7 @@ from galago_git_spark.query.scoring import (
 from galago_git_spark.query.traversals import transform
 
 _COUNT_SCHEMA = "doc long, tf long, positions array<int>"
+_SCORE_SUBTREES = ("wsum", "scale", "log", "bm25fcomb", "combine")
 
 
 def inline_index(
@@ -335,6 +336,11 @@ def _scorer_column(
         lam = node.get_float("lambda", JM_LAMBDA)
         bg = (ts.cf if ts.cf > 0 else 0.5) / cs.collection_length
         return jm_col(tf, length, bg, lam)
+    if op == "bm25field":
+        # BM25FieldScorer.java:35-40 — x-bar_{d,f,t} = tf / (1 + b*(len_f/avgdl_f - 1));
+        # cs here is the FIELD statistics when lengths=field is set
+        b = node.get_float("b", 0.5)
+        return tf / (1.0 + F.lit(b) * (length / F.lit(cs.avg_doc_length) - 1.0))
     if op == "pl2":
         return pl2_col(tf, length, max(ts.cf, 1), cs, node.get_float("c", 1.0))
     if op == "inl2":
@@ -348,7 +354,8 @@ def _scorer_column(
 
 def _is_scorer(node: Node) -> bool:
     return node.operator in (
-        "bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "logcount", "prior"
+        "bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field",
+        "logcount", "prior"
     )
 
 
@@ -369,8 +376,8 @@ def score_frame(
     need to rank on rounded scores."""
     node = parse(query) if isinstance(query, str) else query
     node = transform(node, default_scorer)
-    if _is_scorer(node):
-        node = Node("combine", {}, [node])
+    if _is_scorer(node) or node.operator in ("scale", "log", "bm25fcomb"):
+        node = Node("combine", {"0": 1.0, "norm": False}, [node])
     if node.operator == "combine":
         return _execute_combine(node, index, default_scorer)
     if node.operator == "wsum":
@@ -416,7 +423,7 @@ def _execute_combine(node: Node, index: Index, default_scorer: str) -> DataFrame
     # wrap any stray count children (defensive; traversal normally did it);
     # score-typed subtrees (#wsum) pass through
     children = [
-        c if (_is_scorer(c) or c.operator in ("wsum", "scale", "log"))
+        c if (_is_scorer(c) or c.operator in _SCORE_SUBTREES)
         else Node(default_scorer, {}, [c])
         for c in children
     ]
@@ -540,11 +547,11 @@ def field_collection_stats(index: Index, field: str) -> CollectionStats:
 
 def _candidate_docs(node: Node, index: Index) -> DataFrame | None:
     """Docs a score-typed subtree can match (its count leaves' union)."""
-    if node.operator in ("wsum", "scale", "log"):
+    if node.operator in ("wsum", "scale", "log", "bm25fcomb", "combine"):
         frames = [
             f
             for c in node.children
-            for f in [_candidate_docs(c if _is_scorer(c) or c.operator in ("wsum", "scale", "log") else Node("dirichlet", {}, [c]), index)]
+            for f in [_candidate_docs(c if _is_scorer(c) or c.operator in _SCORE_SUBTREES else Node("dirichlet", {}, [c]), index)]
             if f is not None
         ]
         return reduce(DataFrame.unionByName, frames) if frames else None
@@ -631,6 +638,32 @@ def _score_column(
     (LogarithmIterator.java) score transforms."""
     if s.operator == "wsum":
         return _wsum_column(s, tag, cur, index, fstats_cache)
+    if s.operator == "bm25fcomb":
+        # BM25FCombinationIterator.java:24-35 — sum_i w_i*s_i/(K+s_i)*idf_i
+        K = s.get_float("K", 0.5)
+        weights = s.indexed_weights()
+        total = None
+        for j, (w, c) in enumerate(zip(weights, s.children)):
+            idf = s.get_float(f"idf{j}", 1.0)
+            child = c
+            if not (_is_scorer(child) or child.operator in _SCORE_SUBTREES):
+                child = Node("dirichlet", {}, [child])
+            cur, col = _score_column(child, f"{tag}f{j}", cur, index, fstats_cache)
+            part = F.lit(w) * col / (F.lit(K) + col) * F.lit(idf)
+            total = part if total is None else total + part
+        return cur, total
+    if s.operator == "combine":
+        # nested #combine as a score column (weighted sum of children)
+        weights = normalize_weights(s.indexed_weights(), s.get_bool("norm", True))
+        total = None
+        for j, (w, c) in enumerate(zip(weights, s.children)):
+            child = c
+            if not (_is_scorer(child) or child.operator in _SCORE_SUBTREES):
+                child = Node("dirichlet", {}, [child])
+            cur, col = _score_column(child, f"{tag}c{j}", cur, index, fstats_cache)
+            part = F.lit(w) * col
+            total = part if total is None else total + part
+        return cur, total
     if s.operator == "scale":
         factor = s.get_float("default", 1.0)
         child = s.children[0]
