@@ -112,14 +112,36 @@ def main() -> None:
             )
 
         if has_packed:
-            from galago_git_spark.query.wand import wand_topk
+            from galago_git_spark.query.wand import PackedReader, wand_topk
 
+            reader = PackedReader(spark, index_dir)
+            reader.lengths_bucketed.count()  # warm once
             timed(
                 "q_bm25_wand_top10",
                 lambda: wand_topk(
-                    spark, index_dir, ["table", "row", "merge"], k=10
+                    spark, index_dir, ["table", "row", "merge"], k=10,
+                    reader=reader,
                 ).collect(),
             )
+
+        # whole-batch single-plan retrieval (12 queries, one job)
+        from galago_git_spark.query.batch import batch_bm25_topk, queries_to_terms
+
+        batch_q = [
+            {"number": f"b{i}", "text": t}
+            for i, t in enumerate(
+                [
+                    "#combine(table row)", "#combine(merge scan)",
+                    "#combine(query filter)", "#combine(hash join)",
+                    "#combine:0=0.7:1=0.3(data value)", "#combine(sort group)",
+                    "#combine(index stream)", "#combine(batch window)",
+                    "#combine(key part)", "#combine(line order)",
+                    "#combine(fast slow)", "#combine(big small)",
+                ]
+            )
+        ]
+        qt = queries_to_terms(spark, batch_q)
+        timed("q_batch_plan_12q", lambda: batch_bm25_topk(idx, qt, k=10).collect())
 
         # 3. training-data operators straight off the driver tables
         reg = dq.queries()

@@ -68,7 +68,7 @@ from galago_git_spark.query.scoring import (
 from galago_git_spark.query.traversals import transform
 
 _COUNT_SCHEMA = "doc long, tf long, positions array<int>"
-_SCORE_SUBTREES = ("wsum", "scale", "log", "bm25fcomb", "combine")
+_SCORE_SUBTREES = ("wsum", "scale", "log", "bm25fcomb", "combine", "boost", "logprobnot")
 
 
 def inline_index(
@@ -291,6 +291,14 @@ def compile_indicator(node: Node, index: Index) -> DataFrame:
     if op == "not":
         child = compile_indicator(node.children[0], index)
         return index.lengths.select("doc").join(child, "doc", "left_anti")
+    if op == "threshold":
+        # ThresholdIterator.java — on iff child score >= raw threshold
+        t = node.get_float("raw", node.get_float("default", 0.0))
+        from galago_git_spark.query.executor import score_frame as _sf
+
+        child = node.children[0]
+        scored = _sf(child, index)
+        return scored.filter(F.col("score") >= F.lit(t)).select("doc")
     # a count node used as an indicator: on iff tf > 0
     return compile_count(node, index).select("doc").distinct()
 
@@ -547,7 +555,9 @@ def field_collection_stats(index: Index, field: str) -> CollectionStats:
 
 def _candidate_docs(node: Node, index: Index) -> DataFrame | None:
     """Docs a score-typed subtree can match (its count leaves' union)."""
-    if node.operator in ("wsum", "scale", "log", "bm25fcomb", "combine"):
+    if node.operator == "boost":
+        return compile_count(node.children[0], index).select("doc")
+    if node.operator in ("wsum", "scale", "log", "bm25fcomb", "combine", "logprobnot"):
         frames = [
             f
             for c in node.children
@@ -664,6 +674,21 @@ def _score_column(
             part = F.lit(w) * col
             total = part if total is None else total + part
         return cur, total
+    if s.operator == "boost":
+        # BoostingIterator.java — emits beta iff the child indicator is on
+        beta = s.get_float("default", s.get_float("beta", 1.0))
+        ind = compile_indicator(s.children[0], index).withColumn(
+            f"on_{tag}", F.lit(True)
+        )
+        cur = cur.join(ind, "doc", "left")
+        return cur, F.when(F.col(f"on_{tag}"), F.lit(beta)).otherwise(0.0)
+    if s.operator == "logprobnot":
+        # LogProbNotIterator.java — log(1 - exp(p))
+        child = s.children[0]
+        if not (_is_scorer(child) or child.operator in _SCORE_SUBTREES):
+            child = Node("dirichlet", {}, [child])
+        cur, col = _score_column(child, tag + "n", cur, index, fstats_cache)
+        return cur, F.log(1.0 - F.exp(col))
     if s.operator == "scale":
         factor = s.get_float("default", 1.0)
         child = s.children[0]

@@ -31,7 +31,7 @@ ALIASES = {
     "counts-sum": "countsum",
 }
 
-SCORERS = {"bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field", "logcount", "prior", "boost", "log", "scale", "bm25fcomb"}
+SCORERS = {"bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field", "logcount", "prior", "boost", "log", "scale", "bm25fcomb", "logprobnot"}
 COUNT_OPS = {
     "counts", "extents", "ordered", "unordered", "synonym", "mincount",
     "countsum", "inside", "null",
