@@ -159,12 +159,28 @@ def minhash_lsh_pairs(
             F.md5(F.concat_ws(":", F.col("band").cast("string"), "band_sig")),
         )
     )
-    a = banded.select(F.col("doc").alias("doc_a"), "band_key")
-    b = banded.select(F.col("doc").alias("doc_b"), "band_key")
+    # one pass: bucket docs per band key, expand ordered pairs inside each
+    # bucket (buckets are near-dup sized, so the quadratic stays tiny; a
+    # band-key self-join would compute the signature plan twice)
+    buckets = (
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a: F.transform(
+                    F.col("ds"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda s: s.a < s.b,
+    )
     return (
-        a.join(b, "band_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 

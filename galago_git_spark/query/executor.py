@@ -383,6 +383,21 @@ def score_frame(
     The building block for execute() and for oracle-checked wrappers that
     need to rank on rounded scores."""
     node = parse(query) if isinstance(query, str) else query
+    if node.operator in ("rm", "rm3", "prf"):
+        # RelevanceModelTraversal (traversal #1): runs a first-pass query,
+        # expands, and re-enters — needs the index, so it lives here
+        from galago_git_spark.query.prf import rm3_expand
+
+        base = Node("combine", {k: v for k, v in node.parameters.items()
+                                if k not in ("fbDocs", "fbTerm", "fbOrigWeight")},
+                    node.children)
+        node = rm3_expand(
+            base, index,
+            fb_orig_weight=node.get_float("fbOrigWeight", 0.25),
+            fb_docs=node.get_int("fbDocs", 20),
+            fb_terms=node.get_int("fbTerm", 100),
+            default_scorer=default_scorer,
+        )
     node = transform(node, default_scorer)
     if _is_scorer(node) or node.operator in ("scale", "log", "bm25fcomb"):
         node = Node("combine", {"0": 1.0, "norm": False}, [node])

@@ -74,3 +74,14 @@ def test_rm1_excludes_query_terms_and_stopwords(spark, ten_idx):
     )
     terms = {t for t, _ in got}
     assert "cat" not in terms and "moon" not in terms and "the" not in terms
+
+
+def test_rm_query_string_syntax(spark, ten_idx):
+    """#rm as a query operator (RelevanceModelTraversal entry point)."""
+    from galago_git_spark.query.executor import execute
+
+    rows = execute("#rm:fbDocs=3:fbTerm=5(cat moon)", ten_idx, k=3).collect()
+    assert len(rows) == 3
+    base = execute("#combine(cat moon)", ten_idx, k=3).collect()
+    # expansion changes the ranking scores (docs sharing fb vocabulary rise)
+    assert [r["score"] for r in rows] != [r["score"] for r in base]
