@@ -46,7 +46,7 @@ def format_run(results: DataFrame, tag: str = "galago_git_spark") -> DataFrame:
             F.lit("Q0"),
             F.col("name"),
             F.col("rank"),
-            F.format_number(F.col("score"), 6),
+            F.format_string("%.6f", F.col("score")),
             F.lit(tag),
         ).alias("value")
     )

@@ -79,8 +79,22 @@ def assign_doc_ids(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = (
-        keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        keyed.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # duplicate-key guard: equal keys are range-colocated, so a
+            # per-partition distinct count is a global uniqueness check
+            # (piggybacked on the offsets pass — no extra job)
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("dcnt"),
+        )
+        .collect()
     )
+    dup = sum(r["cnt"] - r["dcnt"] for r in counts)
+    if dup:
+        raise ValueError(
+            f"assign_doc_ids: {dup} duplicate {key_cols} corpus keys — the "
+            "id join would cross-product; de-duplicate the corpus first"
+        )
     cnt_by_pid = {r["_pid"]: r["cnt"] for r in counts}
     offsets: dict[int, int] = {}
     running = 0

@@ -109,7 +109,7 @@ def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TERM_STATS = f"""WITH {TOKS}, {TOK},
 post AS (SELECT term, doc, count(*) AS tf FROM tok GROUP BY term, doc)
-SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf
+SELECT term, count(*) AS df, sum(tf)::bigint AS cf, max(tf) AS max_tf
 FROM post GROUP BY term"""
 
 
@@ -131,7 +131,7 @@ def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_COLLECTION_STATS = f"""WITH {TOKS}, {LENS}, {TOK}
-SELECT sum(length) AS collection_length,
+SELECT sum(length)::bigint AS collection_length,
        count(*) AS document_count,
        round(sum(length)::double / count(*), 6) AS avg_doc_length,
        (SELECT count(DISTINCT term) FROM tok) AS vocab_count
@@ -953,8 +953,8 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FINGERPRINT = f"""WITH {TOKS}, {POS}
 SELECT doc,
-       sum((pos * ({MD5_LONG.format("term")} % {textstats.FINGERPRINT_MOD}))
-           % {textstats.FINGERPRINT_MOD}) % {textstats.FINGERPRINT_MOD} AS fingerprint
+       (sum((pos * ({MD5_LONG.format("term")} % {textstats.FINGERPRINT_MOD}))
+            % {textstats.FINGERPRINT_MOD}) % {textstats.FINGERPRINT_MOD})::bigint AS fingerprint
 FROM pos GROUP BY doc"""
 
 

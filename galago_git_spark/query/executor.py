@@ -707,13 +707,13 @@ def _score_column(
     if s.operator == "scale":
         factor = s.get_float("default", 1.0)
         child = s.children[0]
-        if not (_is_scorer(child) or child.operator in ("wsum", "scale", "log")):
+        if not (_is_scorer(child) or child.operator in _SCORE_SUBTREES):
             child = Node("dirichlet", {}, [child])
         cur, col = _score_column(child, tag + "s", cur, index, fstats_cache)
         return cur, F.lit(factor) * col
     if s.operator == "log":
         child = s.children[0]
-        if not (_is_scorer(child) or child.operator in ("wsum", "scale", "log")):
+        if not (_is_scorer(child) or child.operator in _SCORE_SUBTREES):
             child = Node("dirichlet", {}, [child])
         cur, col = _score_column(child, tag + "l", cur, index, fstats_cache)
         return cur, F.log(col)

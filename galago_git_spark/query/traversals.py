@@ -33,7 +33,7 @@ ALIASES = {
 
 SCORERS = {"bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field", "logcount", "prior", "boost", "log", "scale", "bm25fcomb", "logprobnot"}
 COUNT_OPS = {
-    "counts", "extents", "ordered", "unordered", "synonym", "mincount",
+    "counts", "extents", "text", "ordered", "unordered", "synonym", "mincount",
     "countsum", "inside", "null",
 }
 _DEFAULT_WINDOW = {"ordered": 1, "unordered": -1}

@@ -53,6 +53,7 @@ def wand_eligible(node, default_scorer: str = "bm25") -> tuple[list[str], list[f
     from galago_git_spark.query.nodes import is_term_leaf
     from galago_git_spark.query.traversals import transform
 
+    eff_scorer = node.get_str("scorer", default_scorer)
     if "scorer" not in node.parameters:
         node = Node(node.operator, {**node.parameters, "scorer": default_scorer},
                     node.children)
@@ -62,6 +63,10 @@ def wand_eligible(node, default_scorer: str = "bm25") -> tuple[list[str], list[f
     terms: list[str] = []
     for c in node.children:
         if is_term_leaf(c):
+            # bare leaf survived the implicit cast: only BM25-by-default
+            # semantics make it WAND-safe
+            if eff_scorer != "bm25":
+                return None
             terms.append(str(c.default_param))
         elif (
             c.operator == "bm25"
