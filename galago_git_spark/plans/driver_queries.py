@@ -463,6 +463,47 @@ SELECT doc FROM tok WHERE term IN ('spark', 'vector')
 GROUP BY doc HAVING count(DISTINCT term) = 2"""
 
 
+def q_bool_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#bool(#band(...)) — boolean set retrieval as a scored list
+    (bool/BooleanScoreIterator.java:47-59): matching docs score 1.0."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return (
+        score_frame("#bool(#band(data table))", idx)
+        .select("doc", F.round(F.col("score"), 6).alias("score"))
+    )
+
+
+SQL_BOOL_SCORE = f"""WITH {TOKS}, {TOK}
+SELECT doc, 1.0 AS score FROM tok WHERE term IN ('data', 'table')
+GROUP BY doc HAVING count(DISTINCT term) = 2"""
+
+
+def q_bm25rf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#bm25rf — Robertson TSV relevance-feedback weights
+    (scoring/BM25RFScoringIterator.java:29-63): per-term constants on
+    matching docs, combined 50/50."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(
+        score_frame("#combine(#bm25rf:rt=3:R=10(data) #bm25rf:rt=2:R=10(table))", idx)
+    )
+
+
+SQL_BM25RF = _rank_sql(f"""WITH {TOKS}, {TOK},
+post AS (SELECT term, doc FROM tok WHERE term IN ('data', 'table')
+         GROUP BY term, doc),
+n AS (SELECT count(*)::double AS nn FROM toks),
+df AS (SELECT term, count(*)::double AS df FROM post GROUP BY term),
+qt AS (SELECT * FROM (VALUES ('data', 0.5, 3.0, 10.0),
+                             ('table', 0.5, 2.0, 10.0)) AS q(term, w, rt, rr)),
+vals AS (SELECT q.term, q.w,
+                0.33 * ln(((q.rt + 0.5) / (q.rr - q.rt + 0.5)) /
+                          ((d.df - q.rt + 0.5) /
+                           (n.nn - d.df - q.rr + q.rt + 0.5))) AS v
+         FROM qt q JOIN df d ON d.term = q.term CROSS JOIN n),
+scored AS (SELECT p.doc, sum(v.w * v.v) AS s
+           FROM post p JOIN vals v ON v.term = p.term GROUP BY p.doc)""")
+
+
 def q_boolean_bnot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from galago_git_spark.query.executor import compile_indicator
     from galago_git_spark.query.parser import parse
@@ -1135,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_countsum": q_countsum,
         "fti_boolean_band": q_boolean_band,
         "fti_boolean_bnot": q_boolean_bnot,
+        "fti_bool_score": q_bool_score,
+        "fti_bm25rf_topk": q_bm25rf_topk,
         "fti_reject_filter": q_reject_filter,
         "fti_inside_field": q_inside_field,
         "fti_field_between": q_field_between,
@@ -1183,6 +1226,8 @@ def oracle_sql() -> dict[str, str]:
         "fti_countsum": SQL_COUNTSUM,
         "fti_boolean_band": SQL_BAND,
         "fti_boolean_bnot": SQL_BNOT,
+        "fti_bool_score": SQL_BOOL_SCORE,
+        "fti_bm25rf_topk": SQL_BM25RF,
         "fti_reject_filter": SQL_REJECT,
         "fti_inside_field": SQL_INSIDE_FIELD,
         "fti_field_between": SQL_FIELD_BETWEEN,

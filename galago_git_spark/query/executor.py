@@ -68,7 +68,7 @@ from galago_git_spark.query.scoring import (
 from galago_git_spark.query.traversals import transform
 
 _COUNT_SCHEMA = "doc long, tf long, positions array<int>"
-_SCORE_SUBTREES = ("wsum", "scale", "log", "bm25fcomb", "combine", "boost", "logprobnot")
+_SCORE_SUBTREES = ("wsum", "scale", "log", "bm25fcomb", "combine", "boost", "logprobnot", "bool")
 
 
 def inline_index(
@@ -176,20 +176,34 @@ def compile_count(node: Node, index: Index) -> DataFrame:
             .agg(F.sum("tf").alias("tf"))
             .withColumn("positions", F.lit(None).cast("array<int>"))
         )
+    if op == "booltocount":
+        # BinaryCountIterator.java:52-57 (#bool-to-count) — indicator as a
+        # count leaf: 1 on matching docs
+        ind = compile_indicator(node.children[0], index)
+        return ind.select(
+            "doc",
+            F.lit(1).cast("long").alias("tf"),
+            F.lit(None).cast("array<int>").alias("positions"),
+        )
     if op == "inside":
         # ExtentInsideIterator.java:60-85 — extents of X contained in a
         # field extent, as a doc-aligned interval-containment join. An X
         # occurrence inside two overlapping field extents counts once
         # (distinct), matching the reference's per-X-extent containment
-        # check. Requires a positions build.
+        # check. Requires a positions build. The field side may be an
+        # #extentor over several fields (`x.f1,f2` — StructuredQuery.java:
+        # 149-160): the union of their extents.
         if index.extents is None:
             raise ValueError("#inside requires an index built with fields=True")
         x = compile_count(node.children[0], index)
         fnode = node.children[1]
-        if fnode.operator not in ("field", "extents"):
+        if fnode.operator == "extentor":
+            fnames = [str(c.default_param) for c in fnode.children]
+        elif fnode.operator in ("field", "extents"):
+            fnames = [str(fnode.default_param)]
+        else:
             raise ValueError("#inside second child must be #field:name()")
-        fname = str(fnode.default_param)
-        fext = index.extents.filter(F.col("field") == fname).select(
+        fext = index.extents.filter(F.col("field").isin(fnames)).select(
             "doc", "begin", "end"
         )
         pos = x.select("doc", F.explode("positions").alias("p"))
@@ -357,13 +371,26 @@ def _scorer_column(
         return bil2_col(tf, length, cs, node.get_float("c", 1.0))
     if op == "logcount":
         return F.log(tf)
+    if op == "bm25rf":
+        # BM25RFScoringIterator.java:29-63 — Robertson term-selection-value
+        # relevance-feedback weight: a per-term constant emitted on matching
+        # docs (count/length irrelevant), 0 elsewhere
+        rt = node.get_int("rt", 0)
+        R = node.get_int("R", 0)
+        N = node.get_int("documentCount", cs.document_count)
+        factor = node.get_float("factor", 0.33)
+        ft = node.get_int("ft", ts.df)
+        numerator = (rt + 0.5) / (R - rt + 0.5)
+        denominator = (ft - rt + 0.5) / (N - ft - R + rt + 0.5)
+        value = factor * math.log(numerator / denominator)
+        return F.when(tf > 0, F.lit(value)).otherwise(0.0)
     raise ValueError(f"unsupported scorer: #{op}")
 
 
 def _is_scorer(node: Node) -> bool:
     return node.operator in (
         "bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field",
-        "logcount", "prior"
+        "bm25rf", "logcount", "prior"
     )
 
 
@@ -399,7 +426,10 @@ def score_frame(
             default_scorer=default_scorer,
         )
     node = transform(node, default_scorer)
-    if _is_scorer(node) or node.operator in ("scale", "log", "bm25fcomb"):
+    if _is_scorer(node) or (
+        node.operator in _SCORE_SUBTREES
+        and node.operator not in ("combine", "wsum")
+    ):
         node = Node("combine", {"0": 1.0, "norm": False}, [node])
     if node.operator == "combine":
         return _execute_combine(node, index, default_scorer)
@@ -570,8 +600,8 @@ def field_collection_stats(index: Index, field: str) -> CollectionStats:
 
 def _candidate_docs(node: Node, index: Index) -> DataFrame | None:
     """Docs a score-typed subtree can match (its count leaves' union)."""
-    if node.operator == "boost":
-        return compile_count(node.children[0], index).select("doc")
+    if node.operator in ("boost", "bool"):
+        return compile_indicator(node.children[0], index).select("doc")
     if node.operator in ("wsum", "scale", "log", "bm25fcomb", "combine", "logprobnot"):
         frames = [
             f
@@ -697,6 +727,14 @@ def _score_column(
         )
         cur = cur.join(ind, "doc", "left")
         return cur, F.when(F.col(f"on_{tag}"), F.lit(beta)).otherwise(0.0)
+    if s.operator == "bool":
+        # BooleanScoreIterator.java:47-59 (#bool) — indicator as a score:
+        # 1.0 on matching docs, 0.0 elsewhere (set retrieval as a ranked list)
+        ind = compile_indicator(s.children[0], index).withColumn(
+            f"on_{tag}", F.lit(True)
+        )
+        cur = cur.join(ind, "doc", "left")
+        return cur, F.when(F.col(f"on_{tag}"), F.lit(1.0)).otherwise(0.0)
     if s.operator == "logprobnot":
         # LogProbNotIterator.java — log(1 - exp(p))
         child = s.children[0]

@@ -59,19 +59,28 @@ def _parse_op(tok: str) -> Node:
     return Node(op, params)
 
 
+def _field_list_node(names: list[str]) -> Node:
+    """Field list -> single #field or #extentor over them
+    (StructuredQuery.nodeWithOptionalExtentOr, StructuredQuery.java:149-160)."""
+    fields = [Node("field", {"default": f}) for f in names]
+    if len(fields) == 1:
+        return fields[0]
+    return Node("extentor", {}, fields)
+
+
 def _term_or_field(tok: str) -> Node:
-    """Bare term, or ``term.field`` -> #inside(#extents:term #extents:field)
-    (StructuredQuery.java:162-182)."""
+    """Bare term, or dotted field restrictions: ``x.f1`` / ``x.f1,f2``
+    (extent-or over fields) / chained ``x.f1.f2`` (nested #inside)
+    (StructuredQuery.parseRestricted, StructuredQuery.java:162-182)."""
     if "." in tok and not re.fullmatch(r"[\d.]+", tok):
-        term, fld = tok.split(".", 1)
-        return Node(
-            "inside",
-            {},
-            [
-                Node("extents", {"default": term}),
-                Node("extents", {"default": fld}),
-            ],
-        )
+        parts = tok.split(".")
+        node = term_node(parts[0])
+        for spec in parts[1:]:
+            names = [f for f in spec.split(",") if f]
+            if not names:
+                raise ValueError(f"empty field restriction in {tok!r}")
+            node = Node("inside", {}, [node, _field_list_node(names)])
+        return node
     return term_node(tok)
 
 
@@ -103,10 +112,36 @@ def parse(query: str) -> Node:
                     Node("ordered", {"default": 1}, [term_node(t) for t in terms])
                 )
         else:
-            stack[-1].children.append(_term_or_field(tok))
+            if tok.endswith("."):
+                # smoothing restriction `x.(f1,f2)` (StructuredQuery.
+                # parseArgument, StructuredQuery.java:184-198): the '('
+                # that follows opens the field list
+                stack[-1].children.append(
+                    Node("smoothinside", {}, [_term_or_field(tok[:-1])])
+                )
+            else:
+                stack[-1].children.append(_term_or_field(tok))
     if len(stack) != 1:
         raise ValueError(f"unbalanced '(' in {query!r}")
     root = stack[0]
+    root = _finish_smoothinside(root)
     if len(root.children) == 1:
         return root.children[0]
     return root
+
+
+def _finish_smoothinside(node: Node) -> Node:
+    """Normalize a parsed ``#smoothinside`` — its paren-list children are
+    field-name tokens; fold them into one field/#extentor second child
+    (StructuredQuery.nodeWithOptionalExtentOr)."""
+    node.children = [_finish_smoothinside(c) for c in node.children]
+    if node.operator != "smoothinside":
+        return node
+    if len(node.children) < 2:
+        raise ValueError("smoothing restriction '.(...)' needs field names")
+    names: list[str] = []
+    for c in node.children[1:]:
+        if c.operator != "counts" or c.children:
+            raise ValueError("smoothing restriction fields must be bare names")
+        names.extend(f for f in str(c.default_param).split(",") if f)
+    return Node("smoothinside", {}, [node.children[0], _field_list_node(names)])

@@ -18,8 +18,15 @@ from galago_git_spark.query.nodes import Node, is_term_leaf
 ALIASES = {
     "od": "ordered",
     "quote": "ordered",  # #quote == #od:1 (ImplicitFeatureCastTraversal)
+    "bigram": "ordered",  # BigramIterator.java:15-20 — od restricted to width 1
     "uw": "unordered",
     "intersect": "unordered",  # width -1 => whole document
+    "ubigram": "unordered",  # UnorderedWindowBigramIterator.java:19-22
+    # parse-only pseudo-op from `x.(f1,f2)` (StructuredQuery.java:196);
+    # the reference registers no iterator for it — containment semantics
+    # match #inside, so normalize to it here
+    "smoothinside": "inside",
+    "bool-to-count": "booltocount",
     "syn": "synonym",
     "band": "all",
     "bor": "any",
@@ -31,10 +38,10 @@ ALIASES = {
     "counts-sum": "countsum",
 }
 
-SCORERS = {"bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field", "logcount", "prior", "boost", "log", "scale", "bm25fcomb", "logprobnot"}
+SCORERS = {"bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field", "bm25rf", "logcount", "prior", "boost", "log", "scale", "bm25fcomb", "logprobnot", "bool"}
 COUNT_OPS = {
     "counts", "extents", "text", "ordered", "unordered", "synonym", "mincount",
-    "countsum", "inside", "null",
+    "countsum", "inside", "null", "booltocount",
 }
 _DEFAULT_WINDOW = {"ordered": 1, "unordered": -1}
 
