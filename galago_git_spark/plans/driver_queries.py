@@ -1178,6 +1178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_boolean_bnot": q_boolean_bnot,
         "fti_bool_score": q_bool_score,
         "fti_bm25rf_topk": q_bm25rf_topk,
+        # #stopword removes 'the'/'of' (inquery list) before scoring
+        # (StopWordTraversal.java:47-82): identical to BM25 over the kept terms
+        "fti_stopword_topk": _retrieval(
+            "#stopword(#combine:scorer=bm25(the table of row merge))"
+        ),
         "fti_reject_filter": q_reject_filter,
         "fti_inside_field": q_inside_field,
         "fti_field_between": q_field_between,
@@ -1228,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "fti_boolean_bnot": SQL_BNOT,
         "fti_bool_score": SQL_BOOL_SCORE,
         "fti_bm25rf_topk": SQL_BM25RF,
+        "fti_stopword_topk": _rank_sql(_sql_bm25(BM25_TERMS)),
         "fti_reject_filter": SQL_REJECT,
         "fti_inside_field": SQL_INSIDE_FIELD,
         "fti_field_between": SQL_FIELD_BETWEEN,

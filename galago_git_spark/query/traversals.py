@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from copy import deepcopy
 
-from galago_git_spark.query.nodes import Node, is_term_leaf
+from galago_git_spark.functions.wordlists import stop_structures, word_list
+from galago_git_spark.query.nodes import Node, is_term_leaf, term_node
 
 # operator aliases (FeatureFactory.java:36-108 registration names)
 ALIASES = {
@@ -70,6 +71,64 @@ def transform_root(node: Node) -> Node:
     if node.operator == "root":
         return Node("combine", dict(node.parameters), node.children)
     return node
+
+
+def _is_text_leaf(n: Node) -> bool:
+    return n.operator in ("text", "counts", "extents") and not n.children
+
+
+def stopstructure_traversal(node: Node) -> Node:
+    """StopStructureTraversal.java:44-110 — ``#stopstructure(...)`` ->
+    ``#combine(...)`` with the longest matching stop-structure prefix
+    ("why is", "tell me about", ...) stripped from the leading text leaves.
+    Runs before stopword removal (sTraversalList order,
+    FeatureFactory.java:112-113)."""
+    _map_children(node, stopstructure_traversal)
+    if node.operator != "stopstructure":
+        return node
+    head = Node("combine", dict(node.parameters), node.children)
+    # descend single-child chains to the first text-leaf array
+    parent = head
+    while len(parent.children) == 1 and not _is_text_leaf(parent.children[0]):
+        parent = parent.children[0]
+    if not (parent.children and _is_text_leaf(parent.children[0])):
+        return head
+    if not all(_is_text_leaf(c) for c in parent.children):
+        return head
+    qstring = " ".join(str(c.default_param) for c in parent.children) + " "
+    longest = ""
+    for ss in stop_structures():
+        if len(ss) > len(longest) and qstring.startswith(ss):
+            longest = ss
+    if longest:
+        rest = qstring[len(longest):].strip()
+        parent.children = [term_node(t) for t in rest.split(" ") if t]
+    return head
+
+
+def stopword_traversal(node: Node, stopwords: frozenset[str] | None = None) -> Node:
+    """StopWordTraversal.java:47-82 — ``#stopword(...)``/``#ss(...)`` ->
+    ``#combine(...)`` with stopword text leaves removed recursively
+    (default list: the packaged ``inquery`` resource)."""
+    _map_children(node, lambda c: stopword_traversal(c, stopwords))
+    if node.operator not in ("stopword", "ss"):
+        return node
+    words = word_list("inquery") if stopwords is None else stopwords
+    head = Node("combine", dict(node.parameters), node.children)
+    _remove_stopword_leaves(head, words)
+    return head
+
+
+def _remove_stopword_leaves(node: Node, words: frozenset[str]) -> None:
+    kept = []
+    for c in node.children:
+        if _is_text_leaf(c):
+            if str(c.default_param) not in words:
+                kept.append(c)
+        else:
+            _remove_stopword_leaves(c, words)
+            kept.append(c)
+    node.children = kept
 
 
 def sdm_traversal(node: Node) -> Node:
@@ -234,6 +293,8 @@ def flatten_window(node: Node) -> Node:
 
 PIPELINE = [
     replace_operators,
+    stopstructure_traversal,
+    stopword_traversal,
     transform_root,
     sdm_traversal,
     fulldep_traversal,
