@@ -136,6 +136,7 @@ def build_index(
     tokenizer: str = "pandas",
     positions: bool = True,
     fields: bool = False,
+    field_formats: dict[str, str] | None = None,
     num_term_partitions: int | None = None,
     resume: bool = False,
 ) -> dict:
@@ -269,6 +270,28 @@ def build_index(
             )
             record("extents", extents_path, t0)
 
+    # typed fields part (FieldIndexWriter analog, ``index/disk/
+    # FieldIndexWriter.java``; format validation ``BuildIndex.java:502-517``)
+    # — narrow typed rows from corpus metadata columns, doc-ranged for
+    # predicate pushdown at comparison time
+    if field_formats:
+        from galago_git_spark.index.fieldindex import build_field_part
+
+        fields_path = os.path.join(index_dir, "fields")
+        manifest["params"]["field_formats"] = dict(field_formats)
+        if not done("fields"):
+            t0 = time.time()
+            (
+                build_field_part(numbered, field_formats, doc_col="doc")
+                .repartitionByRange(
+                    max(1, num_term_partitions // 4), "field", "doc"
+                )
+                .sortWithinPartitions("field", "doc")
+                .write.mode("overwrite")
+                .parquet(fields_path)
+            )
+            record("fields", fields_path, t0)
+
     # per-term statistics (NodeStatistics: df, cf, maximumCount)
     termstats_path = os.path.join(index_dir, "termstats")
     if not done("termstats"):
@@ -329,6 +352,8 @@ class Index:
     extents: DataFrame | None = None
     window_parts: dict | None = None  # n -> ordered-shingle postings
     priors: DataFrame | None = None  # (doc, prior) log-space static scores
+    fields_part: DataFrame | None = None  # typed (doc, field, sval, nval, dval)
+    field_formats: dict | None = None  # field -> string/int/long/float/double/date
 
     _termstats_cache: dict | None = None
 
@@ -355,9 +380,20 @@ def open_index(spark: SparkSession, index_dir: str) -> Index:
     priors = (
         spark.read.parquet(priors_path) if os.path.exists(priors_path) else None
     )
+    fields_path = os.path.join(index_dir, "fields")
+    fields_part = (
+        spark.read.parquet(fields_path) if os.path.exists(fields_path) else None
+    )
+    field_formats = None
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if fields_part is not None and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            field_formats = json.load(f)["params"].get("field_formats")
     return Index(
         extents=extents,
         priors=priors,
+        fields_part=fields_part,
+        field_formats=field_formats,
         window_parts=load_window_parts(spark, index_dir) or None,
         spark=spark,
         index_dir=index_dir,

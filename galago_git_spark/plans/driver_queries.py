@@ -577,6 +577,32 @@ FROM documents d JOIN toks t ON t.doc = d.doc_id
 WHERE d.n_chars > 150 AND d.n_chars < 300 AND list_contains(t.terms, 'data')"""
 
 
+def q_between_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field comparison as a QUERY-LANGUAGE operator: the string
+    ``#require(#between(n_chars 150 300) ...)`` runs through parse ->
+    field_comparison_rewrite -> typed fields part
+    (FieldComparisonIterator.java:45-81, InBetweenIterator strict bounds;
+    index/fieldindex.py)."""
+    idx = inline_index(
+        _docs(spark, sf_dir), field_formats={"n_chars": "long", "lang": "string"}
+    )
+    return _ranked(
+        score_frame(
+            "#require(#between(n_chars 150 300) #combine:scorer=bm25(data table))",
+            idx,
+        )
+    )
+
+
+SQL_BETWEEN_QUERY = _rank_sql(
+    _sql_bm25([("data", 1.0), ("table", 1.0)])
+    + """,
+scored2 AS (SELECT s.* FROM scored s JOIN documents d ON d.doc_id = s.doc
+            WHERE d.n_chars > 150 AND d.n_chars < 300)""",
+    src="scored2",
+)
+
+
 def q_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage retrieval (RankedPassageModel.java:57-97): BM25 over
     size-30/shift-15 sliding passages, top-10 on rounded scores with
@@ -1186,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_reject_filter": q_reject_filter,
         "fti_inside_field": q_inside_field,
         "fti_field_between": q_field_between,
+        "fti_between_query_topk": q_between_query,
         "fti_passage_topk": q_passage,
         "fti_prms_topk": q_prms,
         "fti_bm25f_topk": q_bm25f,
@@ -1237,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "fti_reject_filter": SQL_REJECT,
         "fti_inside_field": SQL_INSIDE_FIELD,
         "fti_field_between": SQL_FIELD_BETWEEN,
+        "fti_between_query_topk": SQL_BETWEEN_QUERY,
         "fti_passage_topk": _sql_passage("data", "table"),
         "fti_prms_topk": _rank_sql(_sql_prms("data", "table")),
         "fti_bm25f_topk": _rank_sql(_sql_bm25f("data", "table")),

@@ -73,7 +73,7 @@ _SCORE_SUBTREES = ("wsum", "scale", "log", "bm25fcomb", "combine", "boost", "log
 
 def inline_index(
     docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
-    fields: bool = False,
+    fields: bool = False, field_formats: dict[str, str] | None = None,
 ) -> Index:
     """Build an in-memory (lazy, no disk) index view over any table with a
     document id and a text column — used for oracle-checked queries over
@@ -108,6 +108,11 @@ def inline_index(
         F.sum("length").alias("cl"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     names = docs.select(F.col(doc_col).cast("long").alias("doc"))
+    fields_part = None
+    if field_formats:
+        from galago_git_spark.index.fieldindex import build_field_part
+
+        fields_part = build_field_part(docs, field_formats, doc_col=doc_col)
     return Index(
         spark=docs.sparkSession,
         index_dir="<inline>",
@@ -117,6 +122,8 @@ def inline_index(
         termstats=termstats,
         collection_stats=CollectionStats(int(agg["cl"]), int(agg["n"])),
         extents=extents,
+        fields_part=fields_part,
+        field_formats=dict(field_formats) if field_formats else None,
     )
 
 
@@ -305,6 +312,12 @@ def compile_indicator(node: Node, index: Index) -> DataFrame:
     if op == "not":
         child = compile_indicator(node.children[0], index)
         return index.lengths.select("doc").join(child, "doc", "left_anti")
+    if op in ("greater", "less", "between", "equals"):
+        # typed field comparison over the fields part
+        # (FieldComparisonIterator.java:45-81; index/fieldindex.py)
+        from galago_git_spark.index.fieldindex import field_comparison_docs
+
+        return field_comparison_docs(node, index)
     if op == "threshold":
         # ThresholdIterator.java — on iff child score >= raw threshold
         t = node.get_float("raw", node.get_float("default", 0.0))
@@ -426,6 +439,14 @@ def score_frame(
             default_scorer=default_scorer,
         )
     node = transform(node, default_scorer)
+    if node.operator in ("require", "reject"):
+        # RequireIterator / RejectIterator over a scored child: the filter
+        # indicator gates the ranked result (semi/anti join) — supports
+        # #require(#between(...) <scored query>) as a query string
+        ind = compile_indicator(node.children[0], index).select("doc")
+        base = score_frame(node.children[1], index, default_scorer)
+        how = "left_semi" if node.operator == "require" else "left_anti"
+        return base.join(ind, "doc", how)
     if _is_scorer(node) or (
         node.operator in _SCORE_SUBTREES
         and node.operator not in ("combine", "wsum")

@@ -210,6 +210,27 @@ def fulldep_traversal(node: Node) -> Node:
     )
 
 
+FIELD_COMPARISONS = ("greater", "less", "between", "equals")
+
+
+def field_comparison_rewrite(node: Node) -> Node:
+    """ImplicitFeatureCastTraversal.java:59-81 — a field comparison's
+    value children move into positional parameters and its first child
+    becomes a #field node:
+    ``#between(n_chars 150 300)`` -> ``#between:0=150:1=300(#field:n_chars())``.
+    """
+    _map_children(node, field_comparison_rewrite)
+    if node.operator not in FIELD_COMPARISONS or not node.children:
+        return node
+    first = node.children[0]
+    if first.operator != "field":
+        first = Node("field", {"default": first.default_param})
+    params = dict(node.parameters)
+    for pos, c in enumerate(node.children[1:]):
+        params[str(pos)] = c.default_param
+    return Node(node.operator, params, [first])
+
+
 def implicit_feature_cast(node: Node, default_scorer: str = "dirichlet") -> Node:
     """ImplicitFeatureCastTraversal.java:94-134 — count-typed children of
     score-typed operators get wrapped in the default scorer."""
@@ -299,6 +320,7 @@ PIPELINE = [
     sdm_traversal,
     fulldep_traversal,
     flatten_window,
+    field_comparison_rewrite,
     implicit_feature_cast,
     flatten_combine,
     merge_combine_children,
