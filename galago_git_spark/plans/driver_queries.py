@@ -1089,25 +1089,65 @@ SQL_LSH_BUCKETS = _sql_lsh_buckets()
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = simsearch.cosine_pairs(_emb(spark, sf_dir), threshold=0.8)
+    """Embedding near-dup pairs via the SCALE path: multi-table sign-LSH
+    bucketing + within-bucket pair expansion + exact cosine on candidates
+    (operators/simsearch.lsh_cosine_pairs). The plan contains no cartesian
+    product; the brute-force ``cosine_pairs`` is only the unit-test
+    baseline. Threshold 0.4 is calibrated to the synthetic embeddings
+    (max pairwise cosine ~0.51 at sf0.01) so the entry is non-vacuous."""
+    out = simsearch.lsh_cosine_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_tables=4, n_planes=4, dim=64
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-SQL_EMB_PAIRS = """WITH ev AS (
-  SELECT vec_id,
-         unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x::double})) AS u
+def _sql_lsh_cosine_pairs(
+    threshold: float = 0.4, n_tables: int = 4, n_planes: int = 4,
+    dim: int = 64, max_bucket: int = 1000,
+) -> str:
+    h = MD5_LONG.format(
+        "concat('lsht', t::varchar, '_', p::varchar, '_', (i - 1)::varchar)"
+    )
+    return f"""WITH q AS (
+  SELECT vec_id AS id,
+         unnest(list_transform(embedding,
+                (x, i) -> {{'i': i, 'v': round(x::double * 1000)::bigint,
+                            'x': x::double}})) AS u
   FROM embeddings),
-evf AS (SELECT vec_id, u.i AS i, u.x AS x FROM ev),
-norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM evf GROUP BY vec_id),
+qf AS (SELECT id, u.i AS i, u.v AS v, u.x AS x FROM q),
+planes AS (
+  SELECT t, p, i, ({h} % 2001 - 1000)::bigint AS c
+  FROM range(0, {n_tables}) AS rt(t), range(0, {n_planes}) AS rp(p),
+       range(1, {dim} + 1) AS ri(i)),
 dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
-  FROM evf a JOIN evf b ON a.i = b.i AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id)
+  SELECT id, t, p, sum(v * c) AS dot
+  FROM qf JOIN planes USING (i)
+  GROUP BY id, t, p),
+buckets AS (
+  SELECT id, t,
+         sum((CASE WHEN dot > 0 THEN 1 ELSE 0 END) * (1 << p))::int AS bucket
+  FROM dots GROUP BY id, t),
+bsz AS (SELECT t, bucket, count(*) AS n FROM buckets GROUP BY t, bucket),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
+  JOIN bsz ON bsz.t = a.t AND bsz.bucket = a.bucket AND bsz.n <= {max_bucket}),
+norms AS (SELECT id, sqrt(sum(x * x)) AS nrm FROM qf GROUP BY id),
+dotsx AS (
+  SELECT c.id_a, c.id_b, sum(fa.x * fb.x) AS dot
+  FROM cand c
+  JOIN qf fa ON fa.id = c.id_a
+  JOIN qf fb ON fb.id = c.id_b AND fb.i = fa.i
+  GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
-FROM dots
-JOIN norms na ON na.vec_id = id_a
-JOIN norms nb ON nb.vec_id = id_b
-WHERE dot / (na.nrm * nb.nrm) >= 0.8"""
+FROM dotsx
+JOIN norms na ON na.id = id_a
+JOIN norms nb ON nb.id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= {threshold}"""
+
+
+SQL_EMB_PAIRS = _sql_lsh_cosine_pairs()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,61 @@
+"""Similarity-search operators: LSH-bucketed near-dup pairs vs the
+brute-force baseline, bucket caps, plan shape (no cartesian product)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from galago_git_spark.operators.simsearch import (
+    cosine_pairs,
+    lsh_cosine_pairs,
+    lsh_hyperplane_buckets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    yield df
+    df.unpersist()
+
+
+def test_lsh_pairs_subset_of_bruteforce_with_recall(emb):
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert lsh, "LSH path must be non-vacuous on the fixture"
+    assert lsh <= brute, "every LSH pair must pass the exact-cosine check"
+    assert len(lsh) >= 0.3 * len(brute), (
+        f"recall too low: {len(lsh)}/{len(brute)}"
+    )
+
+
+def test_lsh_pairs_plan_has_no_cartesian_product(emb):
+    plan = lsh_cosine_pairs(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucket_cap_drops_degenerate_buckets(emb):
+    # cap of 1 removes every bucket with >1 member -> no candidates at all
+    assert lsh_cosine_pairs(emb, threshold=0.0, max_bucket=1).count() == 0
+
+
+def test_buckets_deterministic_across_partitioning(emb):
+    a = {
+        (r["id"], r["bucket"])
+        for r in lsh_hyperplane_buckets(emb.repartition(1)).collect()
+    }
+    b = {
+        (r["id"], r["bucket"])
+        for r in lsh_hyperplane_buckets(emb.repartition(7)).collect()
+    }
+    assert a == b
