@@ -22,9 +22,85 @@ matching doc.
 
 from __future__ import annotations
 
+import numpy as np
+
 
 def positions_to_extents(positions: list[int]) -> list[tuple[int, int]]:
     return [(p, p + 1) for p in positions]
+
+
+def _flatten_rows(rows) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch of per-row position lists -> (values, row-of-value, row starts)."""
+    lens = np.fromiter((len(x) for x in rows), dtype=np.int64, count=len(rows))
+    starts = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    if starts[-1] == 0:
+        vals = np.empty(0, dtype=np.int64)
+    else:
+        vals = np.concatenate([np.asarray(x, dtype=np.int64) for x in rows])
+    row_of = np.repeat(np.arange(len(rows), dtype=np.int64), lens)
+    return vals, row_of, starts
+
+
+def _split_begins(
+    begins: np.ndarray, rows: np.ndarray, n_rows: int
+) -> list[list[int]]:
+    counts = np.bincount(rows, minlength=n_rows)
+    return [b.tolist() for b in np.split(begins, np.cumsum(counts)[:-1])]
+
+
+def ordered2_begins_batch(rows0, rows1, width: int) -> list[list[int]]:
+    """Vectorized 2-child #od over unit (term) extents — an entire Arrow
+    batch of docs in one numpy pass (no per-row Python loop). For each
+    occurrence ``a`` of child 0, the greedy loop's shared pointer lands on
+    the first child-1 occurrence with ``begin >= a+1`` (ends are monotone
+    for unit extents), which is a searchsorted; the match test is
+    ``b - (a+1) < width`` (OrderedWindowIterator.java:25-85). Result-
+    identical to :func:`ordered_window_extents` begins (tested)."""
+    n_rows = len(rows0)
+    A, rowA, _ = _flatten_rows(rows0)
+    B, rowB, startsB = _flatten_rows(rows1)
+    if len(A) == 0 or len(B) == 0:
+        return [[] for _ in range(n_rows)]
+    # row-block keys: rows are disjoint ranges in one sorted array
+    K = int(max(A.max(), B.max())) + 2
+    j = np.searchsorted(B + rowB * K, (A + 1) + rowA * K, side="left")
+    end_of_row = startsB[rowA + 1]
+    valid = j < end_of_row
+    jj = np.minimum(j, len(B) - 1)
+    if width != -1:
+        valid &= (B[jj] - (A + 1)) < width
+    return _split_begins(A[valid], rowA[valid], n_rows)
+
+
+def unordered2_begins_batch(rows0, rows1, width: int) -> list[list[int]]:
+    """Vectorized 2-child #uw over unit extents of DISTINCT terms (begins
+    never collide across children). The reference merge
+    (UnorderedWindowIterator.java:28-82) emits one frontier window per
+    consumed element: when ``a`` is the min, the current partner is the
+    first ``b > a`` (both searchsorted); span ``partner+1-min <= width``.
+    Result-identical to :func:`unordered_window_extents` begins for
+    distinct-position inputs (tested)."""
+    n_rows = len(rows0)
+    A, rowA, startsA = _flatten_rows(rows0)
+    B, rowB, startsB = _flatten_rows(rows1)
+    if len(A) == 0 or len(B) == 0:
+        return [[] for _ in range(n_rows)]
+    K = int(max(A.max(), B.max())) + 2
+    Ak, Bk = A + rowA * K, B + rowB * K
+    ja = np.searchsorted(Bk, Ak, side="right")
+    va = ja < startsB[rowA + 1]
+    jja = np.minimum(ja, len(B) - 1)
+    ib = np.searchsorted(Ak, Bk, side="right")
+    vb = ib < startsA[rowB + 1]
+    iib = np.minimum(ib, len(A) - 1)
+    if width != -1:
+        va &= (B[jja] + 1 - A) <= width
+        vb &= (A[iib] + 1 - B) <= width
+    begins = np.concatenate([A[va], B[vb]])
+    rows = np.concatenate([rowA[va], rowB[vb]])
+    order = np.lexsort((begins, rows))
+    return _split_begins(begins[order], rows[order], n_rows)
 
 
 def ordered_window_extents(

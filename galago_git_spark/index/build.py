@@ -356,15 +356,30 @@ class Index:
     field_formats: dict | None = None  # field -> string/int/long/float/double/date
 
     _termstats_cache: dict | None = None
+    _node_stats_cache: dict | None = None  # str(node) -> TermStats
 
     def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
         """Stats lookup for query terms — a pruned scan of the small
         termstats table, collected to the driver (the analog of
-        AnnotateCollectionStatistics pinning stats onto scorer nodes)."""
-        rows = self.termstats.filter(F.col("term").isin(terms)).collect()
+        AnnotateCollectionStatistics pinning stats onto scorer nodes).
+        Memoized per Index handle: repeated terms across a query batch
+        cost zero extra jobs; absent terms are cached as absent."""
+        if self._termstats_cache is None:
+            self._termstats_cache = {}
+        ordered = list(dict.fromkeys(terms))
+        missing = [t for t in ordered if t not in self._termstats_cache]
+        if missing:
+            rows = self.termstats.filter(F.col("term").isin(missing)).collect()
+            found = {
+                r["term"]: TermStats(r["term"], r["df"], r["cf"], r["max_tf"])
+                for r in rows
+            }
+            for t in missing:
+                self._termstats_cache[t] = found.get(t)
         return {
-            r["term"]: TermStats(r["term"], r["df"], r["cf"], r["max_tf"])
-            for r in rows
+            t: self._termstats_cache[t]
+            for t in ordered
+            if self._termstats_cache[t] is not None
         }
 
 

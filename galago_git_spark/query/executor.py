@@ -266,7 +266,12 @@ def _window_part_rewrite(
 
 def _window_frame(node: Node, index: Index, op: str, width: int) -> DataFrame:
     """#od / #uw via doc-aligned inner joins of children's position arrays
-    plus a per-doc exact match loop in an Arrow-batched UDF."""
+    plus an exact match kernel in an Arrow-batched UDF. The common 2-term
+    case (every #sdm pair, every phrase bigram) runs a whole-batch numpy
+    searchsorted kernel (functions/windows.ordered2_begins_batch) —
+    result-identical to the per-doc greedy loop, no per-row Python."""
+    from galago_git_spark.query.nodes import is_term_leaf
+
     frames = [compile_count(c, index) for c in node.children]
     joined = frames[0].select("doc", F.col("positions").alias("pos_0"))
     for i, f in enumerate(frames[1:], 1):
@@ -274,19 +279,42 @@ def _window_frame(node: Node, index: Index, op: str, width: int) -> DataFrame:
             f.select("doc", F.col("positions").alias(f"pos_{i}")), "doc", "inner"
         )
     n = len(frames)
-    match_fn = (
-        ordered_window_extents if op == "ordered" else unordered_window_extents
+    terms = [
+        str(c.default_param) for c in node.children if is_term_leaf(c)
+    ]
+    fast2 = (
+        n == 2
+        and len(terms) == 2
+        and (op == "ordered" or terms[0] != terms[1])
     )
+    if fast2:
+        from galago_git_spark.functions.windows import (
+            ordered2_begins_batch,
+            unordered2_begins_batch,
+        )
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def window_begins(*cols: pd.Series) -> pd.Series:
-        out = []
-        for row in zip(*cols):
-            exts = match_fn(
-                [positions_to_extents(list(p)) for p in row], width
-            )
-            out.append([b for b, _ in exts])
-        return pd.Series(out)
+        kernel = (
+            ordered2_begins_batch if op == "ordered" else unordered2_begins_batch
+        )
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def window_begins(c0: pd.Series, c1: pd.Series) -> pd.Series:
+            return pd.Series(kernel(c0.tolist(), c1.tolist(), width))
+
+    else:
+        match_fn = (
+            ordered_window_extents if op == "ordered" else unordered_window_extents
+        )
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def window_begins(*cols: pd.Series) -> pd.Series:
+            out = []
+            for row in zip(*cols):
+                exts = match_fn(
+                    [positions_to_extents(list(p)) for p in row], width
+                )
+                out.append([b for b, _ in exts])
+            return pd.Series(out)
 
     pos_cols = [F.col(f"pos_{i}") for i in range(n)]
     return (
@@ -336,18 +364,82 @@ def compile_indicator(node: Node, index: Index) -> DataFrame:
 
 def node_stats(node: Node, index: Index) -> TermStats:
     """NodeStatistics for a count node: leaf -> termstats lookup; complex
-    node -> aggregate its virtual postings (NodeAggregateIterator)."""
+    node -> aggregate its virtual postings (NodeAggregateIterator).
+    Complex-node results memoize on the Index handle; batch several nodes
+    into ONE job with :func:`prefetch_node_stats`."""
     if node.operator in ("counts", "extents", "text"):
         term = str(node.default_param)
         found = index.term_stats([term])
         return found.get(term, TermStats(term, 0, 0, 0))
+    key = str(node)
+    if index._node_stats_cache is None:
+        index._node_stats_cache = {}
+    cached = index._node_stats_cache.get(key)
+    if cached is not None:
+        return cached
     frame = compile_count(node, index)
     row = frame.agg(
         F.count(F.lit(1)).alias("df"),
         F.coalesce(F.sum("tf"), F.lit(0)).alias("cf"),
         F.coalesce(F.max("tf"), F.lit(0)).alias("max_tf"),
     ).collect()[0]
-    return TermStats(str(node), int(row["df"]), int(row["cf"]), int(row["max_tf"]))
+    out = TermStats(key, int(row["df"]), int(row["cf"]), int(row["max_tf"]))
+    index._node_stats_cache[key] = out
+    return out
+
+
+def _stats_count_children(s: Node) -> list[Node]:
+    """Count nodes whose statistics a score subtree will request
+    (mirrors the _score_column/_scorer_env recursion)."""
+    if s.operator in ("prior", "boost", "bool"):
+        return []
+    if _is_scorer(s):
+        return list(s.children[:1])
+    if s.operator in _SCORE_SUBTREES:
+        out: list[Node] = []
+        for c in s.children:
+            if _is_scorer(c) or c.operator in _SCORE_SUBTREES:
+                out.extend(_stats_count_children(c))
+            else:
+                out.append(c)  # will be wrapped in the default scorer
+        return out
+    return [s]
+
+
+def prefetch_node_stats(scorers: list[Node], index: Index) -> None:
+    """Batch every count node's statistics into at most TWO driver jobs
+    per query (one termstats scan for all leaves + one unioned aggregate
+    for all complex nodes) instead of one job per node — an #sdm over n
+    terms previously fired ~2(n-1) extra stats jobs (VERDICT r1 item 4)."""
+    leaves: list[str] = []
+    complex_nodes: dict[str, Node] = {}
+    if index._node_stats_cache is None:
+        index._node_stats_cache = {}
+    for s in scorers:
+        for c in _stats_count_children(s):
+            if c.operator in ("counts", "extents", "text"):
+                leaves.append(str(c.default_param))
+            else:
+                key = str(c)
+                if key not in index._node_stats_cache:
+                    complex_nodes[key] = c
+    if leaves:
+        index.term_stats(leaves)  # fills the memo in one scan
+    if len(complex_nodes) > 1:
+        frames = [
+            compile_count(n, index).agg(
+                F.lit(key).alias("k"),
+                F.count(F.lit(1)).alias("df"),
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("cf"),
+                F.coalesce(F.max("tf"), F.lit(0)).alias("max_tf"),
+            )
+            for key, n in complex_nodes.items()
+        ]
+        rows = reduce(DataFrame.unionByName, frames).collect()
+        for r in rows:
+            index._node_stats_cache[r["k"]] = TermStats(
+                r["k"], int(r["df"]), int(r["cf"]), int(r["max_tf"])
+            )
 
 
 # --------------------------------------------------------------------------
@@ -668,6 +760,7 @@ def _scorer_env(
 def _combine_general(
     scorers: list[Node], weights: list[float], index: Index
 ) -> DataFrame:
+    prefetch_node_stats(scorers, index)
     cand_frames = [
         f for s in scorers for f in [_candidate_docs(s, index)] if f is not None
     ]
@@ -804,6 +897,7 @@ def _wsum_column(
 
 def _execute_wsum(node: Node, index: Index) -> DataFrame:
     """Top-level #wsum query."""
+    prefetch_node_stats([node], index)
     cand = _candidate_docs(node, index)
     if cand is None:
         raise ValueError("#wsum needs at least one count-backed child")

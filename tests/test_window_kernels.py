@@ -1,0 +1,66 @@
+"""Vectorized 2-child window kernels vs the reference match loops —
+property-based equivalence on randomized position lists (the
+DeltaScoreDocumentModelTest "two paths, identical results" pattern)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from galago_git_spark.functions.windows import (
+    ordered2_begins_batch,
+    ordered_window_extents,
+    positions_to_extents,
+    unordered2_begins_batch,
+    unordered_window_extents,
+)
+
+positions = st.lists(
+    st.integers(min_value=1, max_value=60), min_size=1, max_size=12, unique=True
+).map(sorted)
+
+rows = st.lists(st.tuples(positions, positions), min_size=1, max_size=8)
+
+widths = st.sampled_from([-1, 1, 2, 4, 8])
+
+
+def _loop_begins(p0, p1, width, fn):
+    exts = fn([positions_to_extents(p0), positions_to_extents(p1)], width)
+    return [b for b, _ in exts]
+
+
+@given(rows, widths)
+@settings(max_examples=200, deadline=None)
+def test_ordered2_matches_greedy_loop(batch, width):
+    got = ordered2_begins_batch(
+        [r[0] for r in batch], [r[1] for r in batch], width
+    )
+    want = [
+        _loop_begins(p0, p1, width, ordered_window_extents) for p0, p1 in batch
+    ]
+    assert got == want
+
+
+@given(rows, widths)
+@settings(max_examples=200, deadline=None)
+def test_unordered2_matches_merge_loop(batch, width):
+    # distinct-position precondition: drop collisions between the lists
+    batch = [
+        (p0, [x for x in p1 if x not in set(p0)]) for p0, p1 in batch
+    ]
+    batch = [(p0, p1) for p0, p1 in batch if p0 and p1]
+    if not batch:
+        return
+    got = unordered2_begins_batch(
+        [r[0] for r in batch], [r[1] for r in batch], width
+    )
+    want = [
+        _loop_begins(p0, p1, width, unordered_window_extents)
+        for p0, p1 in batch
+    ]
+    assert got == want
+
+
+def test_empty_rows():
+    assert ordered2_begins_batch([[]], [[1]], 1) == [[]]
+    assert unordered2_begins_batch([[1]], [[]], 4) == [[]]
