@@ -298,6 +298,8 @@ def cmd_eval(args: argparse.Namespace) -> dict:
     """``galago eval`` analog: metrics over a TREC run + qrels."""
     spark = _get_spark(args.cores, "galago-eval")
     spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
     from galago_git_spark.evaluation import metrics as M
     from galago_git_spark.evaluation import trec
 
@@ -308,8 +310,34 @@ def cmd_eval(args: argparse.Namespace) -> dict:
     if args.details:
         for r in per_q.orderBy("qid", "metric").collect():
             print(f"{r['metric']}\t{r['qid']}\t{r['value']:.5f}", file=sys.stderr)
+    comparisons = None
+    if args.compare:
+        # significance tests vs a baseline run (eval/.../compare/*,
+        # evaluation/compare.py): per-metric, over aligned qids
+        from galago_git_spark.evaluation import compare as C
+
+        base_run = trec.read_run(spark, args.compare)
+        base_per_q = M.evaluate(base_run, qrels, args.metrics.split(","))
+        tests = args.tests.split(",")
+        comparisons = {}
+        for metric in args.metrics.split(","):
+            bvals = {
+                r["qid"]: r["value"]
+                for r in base_per_q.filter(F.col("metric") == metric).collect()
+            }
+            tvals = {
+                r["qid"]: r["value"]
+                for r in per_q.filter(F.col("metric") == metric).collect()
+            }
+            comparisons[metric] = {
+                k: round(v, 6)
+                for k, v in C.compare_runs(bvals, tvals, tests).items()
+            }
     spark.stop()
-    return {"cmd": "eval", "summary": summary}
+    out = {"cmd": "eval", "summary": summary}
+    if comparisons is not None:
+        out["comparisons"] = comparisons
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -384,6 +412,10 @@ def main(argv: list[str] | None = None) -> int:
     ev.add_argument("--run", required=True)
     ev.add_argument("--qrels", required=True)
     ev.add_argument("--metrics", default="map,recip_rank,ndcg,P10")
+    ev.add_argument("--compare", default=None,
+                    help="baseline TREC run: report significance tests")
+    ev.add_argument("--tests", default="ttest,signtest,randomized",
+                    help="comparison tests (QuerySetComparatorFactory names)")
     ev.add_argument("--details", action="store_true")
     ev.add_argument("--cores", type=int, default=4)
     ev.set_defaults(fn=cmd_eval)

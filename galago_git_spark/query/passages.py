@@ -18,11 +18,17 @@ covers positions (k*shift, k*shift + size].
 
 from __future__ import annotations
 
+from functools import reduce
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from galago_git_spark.index.build import Index
 from galago_git_spark.query.scoring import BM25_B, BM25_K, bm25_idf
+
+_PKEY = ["doc", "pbegin", "pend"]
 
 
 def passage_bm25_topk(
@@ -118,4 +124,234 @@ def passage_bm25_topk(
         .limit(k)
         .withColumn("rank", F.row_number().over(w_rank))
         .select("doc", F.col("begin").cast("int"), F.col("end").cast("int"), "score", "rank")
+    )
+
+# ---------------------------------------------------------------------------
+# composable passage operators — PassageFilterIterator.java:44-66 (extents
+# restricted to the passage window), PassageLengthIterator.java:26-52
+# (length = min(end, |d|) - begin, the lenCheck default), wired through the
+# whole count plane so any operator tree (#od/#uw/#syn/#sdm expansions)
+# evaluates per-passage, the PassageRestrictionTraversal effect.
+# ---------------------------------------------------------------------------
+
+
+def passage_windows(index: Index, cand_docs: DataFrame, size: int, shift: int) -> DataFrame:
+    """(doc, pbegin, pend, plen): sliding windows over candidate docs
+    (RankedPassageModel.java:57-97 loop as one explode)."""
+    return (
+        cand_docs.join(index.lengths, "doc")
+        .select(
+            "doc",
+            "length",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.col("length") / F.lit(shift)).cast("int") - 1,
+                        F.lit(0),
+                    ),
+                )
+            ).alias("k"),
+        )
+        .withColumn("pbegin", F.col("k") * shift)
+        .withColumn("pend", F.least(F.col("pbegin") + size, F.col("length")))
+        .withColumn("plen", (F.col("pend") - F.col("pbegin")).cast("double"))
+        .select("doc", "pbegin", "pend", "plen")
+    )
+
+
+def passage_count_frame(node, index: Index, passages: DataFrame) -> DataFrame:
+    """Passage-scoped analog of executor.compile_count: (doc, pbegin,
+    pend, tf, positions). Leaf extents are filtered to the passage
+    (PassageFilterIterator.loadExtents: begin >= passage.begin and end <=
+    passage.end, i.e. pbegin < p <= pend for 1-based unit extents); window
+    matching then runs inside each passage with the same kernels as the
+    whole-document path."""
+    from galago_git_spark.functions.windows import (
+        ordered2_begins_batch,
+        ordered_window_extents,
+        positions_to_extents,
+        unordered2_begins_batch,
+        unordered_window_extents,
+    )
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.nodes import is_term_leaf
+
+    op = node.operator
+    if op in ("counts", "extents", "text"):
+        pos = compile_count(node, index).select(
+            "doc", F.explode("positions").alias("p")
+        )
+        return (
+            pos.join(passages, "doc")
+            .filter((F.col("p") > F.col("pbegin")) & (F.col("p") <= F.col("pend")))
+            .groupBy(*_PKEY)
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("p")).alias("positions"),
+            )
+        )
+    if op == "synonym":
+        frames = [passage_count_frame(c, index, passages) for c in node.children]
+        return (
+            reduce(DataFrame.unionByName, frames)
+            .groupBy(*_PKEY)
+            .agg(
+                F.sum("tf").alias("tf"),
+                F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                    "positions"
+                ),
+            )
+        )
+    if op in ("ordered", "unordered"):
+        width = int(node.get_int("default", 1 if op == "ordered" else -1))
+        frames = [passage_count_frame(c, index, passages) for c in node.children]
+        joined = frames[0].select(*_PKEY, F.col("positions").alias("pos_0"))
+        for i, f in enumerate(frames[1:], 1):
+            joined = joined.join(
+                f.select(*_PKEY, F.col("positions").alias(f"pos_{i}")),
+                _PKEY,
+                "inner",
+            )
+        n = len(frames)
+        terms = [str(c.default_param) for c in node.children if is_term_leaf(c)]
+        fast2 = n == 2 and len(terms) == 2 and (
+            op == "ordered" or terms[0] != terms[1]
+        )
+        if fast2:
+            kernel = (
+                ordered2_begins_batch if op == "ordered" else unordered2_begins_batch
+            )
+
+            @F.pandas_udf(T.ArrayType(T.IntegerType()))
+            def begins(c0: pd.Series, c1: pd.Series) -> pd.Series:
+                return pd.Series(kernel(c0.tolist(), c1.tolist(), width))
+
+            cols = [F.col("pos_0"), F.col("pos_1")]
+        else:
+            match_fn = (
+                ordered_window_extents if op == "ordered" else unordered_window_extents
+            )
+
+            @F.pandas_udf(T.ArrayType(T.IntegerType()))
+            def begins(*cols_: pd.Series) -> pd.Series:
+                out = []
+                for row in zip(*cols_):
+                    exts = match_fn(
+                        [positions_to_extents(list(p)) for p in row], width
+                    )
+                    out.append([b for b, _ in exts])
+                return pd.Series(out)
+
+            cols = [F.col(f"pos_{i}") for i in range(n)]
+        return (
+            joined.withColumn("positions", begins(*cols))
+            .withColumn("tf", F.size("positions").cast("long"))
+            .filter(F.col("tf") > 0)
+            .select(*_PKEY, "tf", "positions")
+        )
+    raise ValueError(f"unsupported passage count operator: #{op}")
+
+
+def passage_score_frame(
+    query,
+    index: Index,
+    size: int = 50,
+    shift: int = 25,
+    default_scorer: str = "dirichlet",
+) -> DataFrame:
+    """Scored passages (doc, pbegin, pend, score) for an arbitrary
+    #combine-of-scorers tree — every count subtree evaluates inside the
+    passage (the PassageRestrictionTraversal effect); statistics stay
+    collection-level (the reference scores passages with whole-index
+    stats); lengths are passage lengths (PassageLengthIterator)."""
+    from galago_git_spark.query.executor import (
+        _is_scorer,
+        _scorer_column,
+        node_stats,
+        prefetch_node_stats,
+    )
+    from galago_git_spark.query.nodes import Node
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.scoring import normalize_weights
+    from galago_git_spark.query.traversals import transform
+
+    node = parse(query) if isinstance(query, str) else query
+    node = transform(node, default_scorer)
+    if _is_scorer(node):
+        node = Node("combine", {"0": 1.0, "norm": False}, [node])
+    if node.operator != "combine":
+        raise ValueError("passage_score_frame expects a #combine tree")
+    scorers = [
+        c if _is_scorer(c) else Node(default_scorer, {}, [c])
+        for c in node.children
+    ]
+    # flatten nested #combine children into their scorer leaves
+    flat: list[tuple[float, object]] = []
+    weights = normalize_weights(
+        node.indexed_weights(), node.get_bool("norm", True)
+    )
+
+    def _expand(w, c):
+        if c.operator == "combine":
+            ws = normalize_weights(c.indexed_weights(), c.get_bool("norm", True))
+            for wi, ci in zip(ws, c.children):
+                _expand(w * wi, ci if _is_scorer(ci) else Node(default_scorer, {}, [ci]))
+        else:
+            flat.append((w, c))
+
+    for w, c in zip(weights, scorers):
+        _expand(w, c)
+    prefetch_node_stats([c for _, c in flat], index)
+    from galago_git_spark.query.executor import compile_count
+
+    cand = (
+        reduce(
+            DataFrame.unionByName,
+            [compile_count(c.children[0], index).select("doc") for _, c in flat],
+        )
+        .distinct()
+    )
+    passages = passage_windows(index, cand, size, shift)
+    cur = passages
+    exprs = []
+    cs = index.collection_stats
+    for i, (w, s) in enumerate(flat):
+        pf = passage_count_frame(s.children[0], index, passages)
+        cur = cur.join(
+            pf.select(*_PKEY, F.col("tf").alias(f"tf_{i}")), _PKEY, "left"
+        )
+        tf_i = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+        ts = node_stats(s.children[0], index)
+        exprs.append(F.lit(w) * _scorer_column(s, tf_i, F.col("plen"), ts, cs))
+    score = reduce(lambda a, b: a + b, exprs)
+    return cur.select(*_PKEY, score.alias("score"))
+
+
+def passage_topk(
+    query,
+    index: Index,
+    k: int = 10,
+    size: int = 50,
+    shift: int = 25,
+    default_scorer: str = "dirichlet",
+) -> DataFrame:
+    """Ranked passages (ScoredPassage.java:34-49 tie-break)."""
+    scored = passage_score_frame(query, index, size, shift, default_scorer)
+    w_rank = Window.orderBy(
+        F.col("score").desc(), F.col("doc").asc(), F.col("pbegin").asc()
+    )
+    return (
+        scored.orderBy(
+            F.col("score").desc(), F.col("doc").asc(), F.col("pbegin").asc()
+        )
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .select(
+            "doc",
+            F.col("pbegin").cast("int").alias("begin"),
+            F.col("pend").cast("int").alias("end"),
+            "score",
+            "rank",
+        )
     )
