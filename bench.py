@@ -82,8 +82,10 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_index_")
     index_dir = os.path.join(tmp, "idx")
     try:
-        # 1. index build (relational parts + packed block layer)
-        timed("build_index", lambda: build_index(docs, index_dir, positions=False))
+        # 1. index build (relational parts + packed block layer, WITH
+        # positions — the full-featured config: phrase/#sdm queries and
+        # the positional packed tier need them)
+        timed("build_index", lambda: build_index(docs, index_dir, positions=True))
         try:
             from galago_git_spark.index.packed import build_packed
 
@@ -121,6 +123,21 @@ def main() -> None:
                 lambda: wand_topk(
                     spark, index_dir, ["table", "row", "merge"], k=10,
                     reader=reader,
+                ).collect(),
+            )
+            # #sdm on both tiers: the packed path computes window tfs from
+            # position payloads inside the bucket kernel (query/wand.py
+            # wand_sdm_topk) vs the relational join path
+            timed(
+                "q_sdm_relational_top10",
+                lambda: execute("#sdm(table row)", idx, k=10).collect(),
+            )
+            from galago_git_spark.query.wand import wand_sdm_topk
+
+            timed(
+                "q_sdm_wand_top10",
+                lambda: wand_sdm_topk(
+                    spark, index_dir, ["table", "row"], k=10, reader=reader
                 ).collect(),
             )
 

@@ -97,15 +97,41 @@ def _run_one(spark, index, index_dir: str, text: str, k: int, scorer: str,
     from galago_git_spark.query.executor import execute
 
     if use_wand:
+        from galago_git_spark.query.nodes import is_term_leaf
         from galago_git_spark.query.parser import parse
-        from galago_git_spark.query.wand import wand_eligible, wand_topk
+        from galago_git_spark.query.wand import (
+            wand_eligible,
+            wand_sdm_topk,
+            wand_topk,
+        )
 
-        eligible = wand_eligible(parse(text), default_scorer=scorer)
+        node = parse(text)
+        eligible = wand_eligible(node, default_scorer=scorer)
         if eligible is not None:
             terms, weights = eligible
             return wand_topk(
                 spark, index_dir, terms, k=k, weights=weights, reader=reader
             ).collect()
+        # #sdm over bare terms with default dirichlet scoring -> the
+        # positional packed tier (window tfs from position payloads)
+        if (
+            node.operator in ("sdm", "seqdep")
+            and scorer == "dirichlet"
+            and all(is_term_leaf(c) for c in node.children)
+            and len(node.children) >= 2
+        ):
+            try:
+                return wand_sdm_topk(
+                    spark, index_dir,
+                    [str(c.default_param) for c in node.children],
+                    k=k,
+                    uniw=node.get_float("uniw", 0.8),
+                    odw=node.get_float("odw", 0.15),
+                    uww=node.get_float("uww", 0.05),
+                    reader=reader,
+                ).collect()
+            except ValueError:
+                pass  # no positional packed layer: exhaustive path below
     return execute(text, index, k=k, default_scorer=scorer).collect()
 
 

@@ -155,3 +155,45 @@ def unordered_window_extents(
                     return out
         min_begin = min(c[idx[i]][0] for i, c in enumerate(children))
         max_end = max(c[idx[i]][1] for i, c in enumerate(children))
+
+
+def ordered2_counts(rows0, rows1, width: int) -> np.ndarray:
+    """Per-row match COUNTS for the 2-child #od kernel (tf of the window
+    node) — same validity mask as :func:`ordered2_begins_batch` without
+    materializing begins lists."""
+    n_rows = len(rows0)
+    A, rowA, _ = _flatten_rows(rows0)
+    B, rowB, startsB = _flatten_rows(rows1)
+    if len(A) == 0 or len(B) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    K = int(max(A.max(), B.max())) + 2
+    j = np.searchsorted(B + rowB * K, (A + 1) + rowA * K, side="left")
+    valid = j < startsB[rowA + 1]
+    jj = np.minimum(j, len(B) - 1)
+    if width != -1:
+        valid &= (B[jj] - (A + 1)) < width
+    return np.bincount(rowA[valid], minlength=n_rows)
+
+
+def unordered2_counts(rows0, rows1, width: int) -> np.ndarray:
+    """Per-row match counts for the 2-child #uw kernel over distinct-term
+    unit extents — see :func:`unordered2_begins_batch`."""
+    n_rows = len(rows0)
+    A, rowA, startsA = _flatten_rows(rows0)
+    B, rowB, startsB = _flatten_rows(rows1)
+    if len(A) == 0 or len(B) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    K = int(max(A.max(), B.max())) + 2
+    Ak, Bk = A + rowA * K, B + rowB * K
+    ja = np.searchsorted(Bk, Ak, side="right")
+    va = ja < startsB[rowA + 1]
+    jja = np.minimum(ja, len(B) - 1)
+    ib = np.searchsorted(Ak, Bk, side="right")
+    vb = ib < startsA[rowB + 1]
+    iib = np.minimum(ib, len(A) - 1)
+    if width != -1:
+        va &= (B[jja] + 1 - A) <= width
+        vb &= (A[iib] + 1 - B) <= width
+    return np.bincount(rowA[va], minlength=n_rows) + np.bincount(
+        rowB[vb], minlength=n_rows
+    )

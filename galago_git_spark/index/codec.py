@@ -83,3 +83,36 @@ def encode_doc_block(docs: np.ndarray) -> bytes:
 
 def decode_doc_block(buf: bytes) -> np.ndarray:
     return delta_decode(vbyte_decode(buf))
+
+
+def encode_positions_block(pos_concat: np.ndarray, counts: np.ndarray) -> bytes:
+    """Per-doc position lists (concatenated ascending runs; ``counts`` =
+    positions per doc) -> within-doc d-gap + vbyte — the position payload
+    of PositionIndexWriter (``PositionIndexWriter.java:326-358``: first
+    position absolute, rest gaps, per document)."""
+    p = np.ascontiguousarray(pos_concat, dtype=np.uint64)
+    if p.size == 0:
+        return b""
+    gaps = np.empty_like(p)
+    gaps[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=gaps[1:])
+    starts = np.concatenate(
+        ([0], np.cumsum(np.asarray(counts, dtype=np.int64))[:-1])
+    )
+    gaps[starts] = p[starts]  # each doc's first position stays absolute
+    return vbyte_encode(gaps)
+
+
+def decode_positions_block(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Invert :func:`encode_positions_block`: returns the concatenated
+    absolute positions (caller re-splits by ``counts``)."""
+    gaps = vbyte_decode(buf)
+    if gaps.size == 0:
+        return gaps
+    cnts = np.asarray(counts, dtype=np.int64)
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    base = np.zeros(len(starts), dtype=np.uint64)
+    if len(starts) > 1:
+        base[1:] = cs[starts[1:] - 1]
+    return cs - np.repeat(base, cnts)

@@ -46,12 +46,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from galago_git_spark.index.codec import encode_doc_block, vbyte_encode
+from galago_git_spark.index.codec import (
+    encode_doc_block,
+    encode_positions_block,
+    vbyte_encode,
+)
 from galago_git_spark.query.scoring import BM25_B, BM25_K
 
 BLOCKS_SCHEMA = (
     "term string, bucket long, first_doc long, last_doc long, n int, "
-    "max_tf int, max_tfn double, docs binary, tfs binary"
+    "max_tf int, max_tfn double, docs binary, tfs binary, pos binary"
 )
 
 DEFAULT_BLOCK_SIZE = 512  # Galago skipDistance=500 (BuildIndex.java:297-305)
@@ -61,16 +65,18 @@ DEFAULT_BUCKET_BITS = 12  # doc-range shard width = 4096 docs (local scale);
 
 _BLOCK_COLS = [
     "term", "bucket", "first_doc", "last_doc", "n",
-    "max_tf", "max_tfn", "docs", "tfs",
+    "max_tf", "max_tfn", "docs", "tfs", "pos",
 ]
 
 
 def _encode_chunk(term_arr, bucket_arr, docs, tfs, tfns, block_size: int,
-                  rows: list) -> None:
+                  rows: list, positions=None) -> None:
     """Encode a (term,bucket)-sorted chunk: group boundaries by change
     points, blocks by fixed stride — pure numpy slicing, no per-group
     pandas objects (the per-group-DataFrame overhead of applyInPandas
-    dominated pack time at ~1ms x #groups)."""
+    dominated pack time at ~1ms x #groups). ``positions`` (object array of
+    per-posting position arrays, or None) adds the d-gap+vbyte position
+    payload (PositionIndexWriter.java:326-358)."""
     n = len(docs)
     if n == 0:
         return
@@ -86,11 +92,22 @@ def _encode_chunk(term_arr, bucket_arr, docs, tfs, tfns, block_size: int,
             be = min(bs + block_size, ge)
             d = docs[bs:be]
             t = tfs[bs:be]
+            if positions is None:
+                pos_buf = None
+            else:
+                flat = (
+                    np.concatenate(
+                        [np.asarray(p, dtype=np.uint64) for p in positions[bs:be]]
+                    )
+                    if be > bs
+                    else np.empty(0, dtype=np.uint64)
+                )
+                pos_buf = encode_positions_block(flat, t.astype(np.int64))
             rows.append(
                 (
                     term, bucket, int(d[0]), int(d[-1]), be - bs,
                     int(t.max()), float(tfns[bs:be].max()),
-                    encode_doc_block(d), vbyte_encode(t),
+                    encode_doc_block(d), vbyte_encode(t), pos_buf,
                 )
             )
 
@@ -99,6 +116,22 @@ def _pack_stream(block_size: int):
     """mapInPandas kernel over a partition sorted by (term, bucket, doc):
     encodes every complete (term, bucket) group per Arrow batch, carrying
     the trailing open group into the next batch."""
+
+    def encode(head: pd.DataFrame, rows: list) -> None:
+        _encode_chunk(
+            head["term"].to_numpy(),
+            head["bucket"].to_numpy(),
+            head["doc"].to_numpy(dtype=np.uint64),
+            head["tf"].to_numpy(dtype=np.uint64),
+            head["tfn"].to_numpy(dtype=np.float64),
+            block_size,
+            rows,
+            positions=(
+                head["positions"].to_numpy()
+                if "positions" in head.columns
+                else None
+            ),
+        )
 
     def fn(batches):
         carry: pd.DataFrame | None = None
@@ -119,28 +152,12 @@ def _pack_stream(block_size: int):
             carry = pdf.iloc[cut:].reset_index(drop=True)
             head = pdf.iloc[:cut]
             rows: list = []
-            _encode_chunk(
-                head["term"].to_numpy(),
-                head["bucket"].to_numpy(),
-                head["doc"].to_numpy(dtype=np.uint64),
-                head["tf"].to_numpy(dtype=np.uint64),
-                head["tfn"].to_numpy(dtype=np.float64),
-                block_size,
-                rows,
-            )
+            encode(head, rows)
             if rows:
                 yield pd.DataFrame(rows, columns=_BLOCK_COLS)
         if carry is not None and not carry.empty:
             rows = []
-            _encode_chunk(
-                carry["term"].to_numpy(),
-                carry["bucket"].to_numpy(),
-                carry["doc"].to_numpy(dtype=np.uint64),
-                carry["tf"].to_numpy(dtype=np.uint64),
-                carry["tfn"].to_numpy(dtype=np.float64),
-                block_size,
-                rows,
-            )
+            encode(carry, rows)
             if rows:
                 yield pd.DataFrame(rows, columns=_BLOCK_COLS)
 
@@ -172,9 +189,10 @@ def build_packed(
     t0 = time.time()
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    postings = spark.read.parquet(os.path.join(index_dir, "postings")).select(
-        "term", "doc", "tf"
-    )
+    postings_raw = spark.read.parquet(os.path.join(index_dir, "postings"))
+    has_positions = "positions" in postings_raw.columns
+    cols = ["term", "doc", "tf"] + (["positions"] if has_positions else [])
+    postings = postings_raw.select(*cols)
     lengths = spark.read.parquet(os.path.join(index_dir, "lengths"))
     stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
     avgdl = stats["collection_length"] / stats["document_count"]
@@ -187,7 +205,8 @@ def build_packed(
         postings.join(lengths, "doc")
         .withColumn("bucket", F.shiftright(F.col("doc"), bucket_bits).cast("long"))
         .withColumn("tfn", tfn)
-        .select("term", "bucket", "doc", "tf", "tfn")
+        .select("term", "bucket", "doc", "tf", "tfn",
+                *(["positions"] if has_positions else []))
     )
     blocks = (
         enriched.repartition(num_partitions, "term", "bucket")
@@ -208,6 +227,7 @@ def build_packed(
         "bm25_b": b,
         "bm25_k": k,
         "avgdl": avgdl,
+        "positions": has_positions,
     }
     manifest_path = os.path.join(index_dir, "manifest.json")
     manifest = {"params": {}, "parts": {}}

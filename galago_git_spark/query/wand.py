@@ -288,3 +288,274 @@ def wand_topk(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# block-max WAND over #sdm trees — positions in the packed layer
+# (PositionIndexWriter.java:326-386 payloads; window tfs computed inside
+# the bucket kernel from decoded positions, DeltaScoreDocumentModel-style
+# pruning with Dirichlet bounds)
+# ---------------------------------------------------------------------------
+
+
+def _sdm_scorer_plan(terms: list[str], uniw: float, odw: float, uww: float):
+    """Flattened (weight, kind, i, j) scorer list matching
+    traversals.sdm_traversal + flatten_combine exactly: unigrams get
+    uniw/n, od/uw pairs get odw/(n-1), uww/(n-1)."""
+    n = len(terms)
+    total = uniw + odw + uww
+    uniw, odw, uww = uniw / total, odw / total, uww / total
+    plan = [(uniw / n, "uni", i, -1) for i in range(n)]
+    if n > 1:
+        for i in range(n - 1):
+            plan.append((odw / (n - 1), "od", i, i + 1))
+        for i in range(n - 1):
+            plan.append((uww / (n - 1), "uw", i, i + 1))
+    return plan
+
+
+def _sdm_bucket_kernel(terms: list[str], plan, bgs: list[float], mu: float,
+                       k: int, od_width: int, uw_width: int):
+    """Per-bucket exact-Dirichlet #sdm kernel with block-max segment
+    pruning. ``plan[s] = (w, kind, i, j)``; ``bgs[s]`` the scorer's
+    background mu*cf/CL term. Window tfs come from decoded position
+    payloads via the searchsorted count kernels."""
+    from galago_git_spark.functions.windows import (
+        ordered2_counts,
+        unordered2_counts,
+    )
+    from galago_git_spark.index.codec import decode_positions_block
+
+    n_terms = len(terms)
+    t_index = {t: i for i, t in enumerate(terms)}
+    W = sum(w for w, *_ in plan)
+
+    def kernel(blocks: pd.DataFrame, lengths: pd.DataFrame) -> pd.DataFrame:
+        if blocks.empty or lengths.empty:
+            return pd.DataFrame({"doc": [], "score": []}).astype(
+                {"doc": "int64", "score": "float64"}
+            )
+        len_docs = lengths["doc"].to_numpy(dtype=np.int64)
+        len_vals = lengths["length"].to_numpy(dtype=np.float64)
+        order = np.argsort(len_docs)
+        len_docs, len_vals = len_docs[order], len_vals[order]
+        min_len = float(len_vals.min())
+
+        first = blocks["first_doc"].to_numpy(dtype=np.int64)
+        last = blocks["last_doc"].to_numpy(dtype=np.int64)
+        bterm = np.array([t_index[t] for t in blocks["term"]], dtype=np.int64)
+        bmax = blocks["max_tf"].to_numpy(dtype=np.int64)
+
+        edges = np.unique(np.concatenate([first, last + 1]))
+        n_seg = len(edges) - 1
+        lo_idx = np.searchsorted(edges, first, side="right") - 1
+        hi_idx = np.searchsorted(edges, last, side="right") - 1
+
+        # per-term per-segment max_tf (0 where the term has no block)
+        seg_maxtf = np.zeros((n_terms, n_seg), dtype=np.float64)
+        for bi in range(len(first)):
+            t = bterm[bi]
+            lo, hi = lo_idx[bi], hi_idx[bi]
+            seg_maxtf[t, lo:hi + 1] = np.maximum(
+                seg_maxtf[t, lo:hi + 1], bmax[bi]
+            )
+
+        # segment upper bounds: sum_s w*ln(ub_tf + mu*bg) - W*ln(min_len+mu)
+        seg_ub = np.full(n_seg, -W * math.log(min_len + mu), dtype=np.float64)
+        for (w, kind, i, j), bg in zip(plan, bgs):
+            if kind == "uni":
+                ub_tf = seg_maxtf[i]
+            else:
+                ub_tf = np.minimum(seg_maxtf[i], seg_maxtf[j])
+            seg_ub += w * np.log(ub_tf + mu * bg)
+
+        seg_order = np.argsort(-seg_ub, kind="stable")
+        block_order = np.argsort(lo_idx, kind="stable")
+
+        decoded: dict[int, tuple] = {}
+
+        def get_block(bi: int):
+            if bi not in decoded:
+                d = decode_doc_block(blocks["docs"].iloc[bi]).astype(np.int64)
+                t = vbyte_decode(blocks["tfs"].iloc[bi]).astype(np.int64)
+                p = decode_positions_block(
+                    blocks["pos"].iloc[bi], t
+                ).astype(np.int64)
+                starts = np.zeros(len(t) + 1, dtype=np.int64)
+                np.cumsum(t, out=starts[1:])
+                decoded[bi] = (d, t, p, starts)
+            return decoded[bi]
+
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        threshold = -math.inf
+
+        for s in seg_order:
+            if len(top_docs) >= k and seg_ub[s] < threshold:
+                break
+            seg_lo, seg_hi = int(edges[s]), int(edges[s + 1]) - 1
+            active = block_order[
+                (lo_idx[block_order] <= s) & (hi_idx[block_order] >= s)
+            ]
+            # per-term docs/tfs/position-rows inside the segment
+            term_docs: list = [None] * n_terms
+            term_tfs: list = [None] * n_terms
+            term_rows: list = [None] * n_terms
+            for bi in active:
+                bi = int(bi)
+                d, t, p, starts = get_block(bi)
+                a = np.searchsorted(d, seg_lo, side="left")
+                z = np.searchsorted(d, seg_hi, side="right")
+                if a == z:
+                    continue
+                ti = int(bterm[bi])
+                rows = np.split(p[starts[a]:starts[z]],
+                                (starts[a + 1:z] - starts[a]))
+                # blocks of one term never overlap in doc range, so at most
+                # one block per (term, segment) contributes here per term —
+                # but guard by concatenating if it ever happens
+                if term_docs[ti] is None:
+                    term_docs[ti] = d[a:z]
+                    term_tfs[ti] = t[a:z]
+                    term_rows[ti] = rows
+                else:
+                    term_docs[ti] = np.concatenate([term_docs[ti], d[a:z]])
+                    term_tfs[ti] = np.concatenate([term_tfs[ti], t[a:z]])
+                    term_rows[ti] = term_rows[ti] + rows
+            present = [i for i in range(n_terms) if term_docs[i] is not None]
+            if not present:
+                continue
+            cand = np.unique(np.concatenate([term_docs[i] for i in present]))
+            ln = len_vals[np.searchsorted(len_docs, cand)]
+            scores = -W * np.log(ln + mu)
+            # per-scorer exact contributions
+            tf_cache: dict[int, np.ndarray] = {}
+
+            def uni_tf(i: int) -> np.ndarray:
+                if i not in tf_cache:
+                    out = np.zeros(len(cand), dtype=np.float64)
+                    if term_docs[i] is not None:
+                        pos = np.searchsorted(cand, term_docs[i])
+                        out[pos] = term_tfs[i]
+                    tf_cache[i] = out
+                return tf_cache[i]
+
+            win_cache: dict[tuple, np.ndarray] = {}
+
+            def win_tf(kind: str, i: int, j: int) -> np.ndarray:
+                key = (kind, i, j)
+                if key in win_cache:
+                    return win_cache[key]
+                out = np.zeros(len(cand), dtype=np.float64)
+                if term_docs[i] is not None and term_docs[j] is not None:
+                    common, ia, jb = np.intersect1d(
+                        term_docs[i], term_docs[j], return_indices=True
+                    )
+                    if len(common):
+                        rows_i = [term_rows[i][x] for x in ia]
+                        rows_j = [term_rows[j][x] for x in jb]
+                        if kind == "od":
+                            counts = ordered2_counts(rows_i, rows_j, od_width)
+                        else:
+                            counts = unordered2_counts(rows_i, rows_j, uw_width)
+                        out[np.searchsorted(cand, common)] = counts
+                win_cache[key] = out
+                return out
+
+            for (w, kind, i, j), bg in zip(plan, bgs):
+                tf = uni_tf(i) if kind == "uni" else win_tf(kind, i, j)
+                scores += w * np.log(tf + mu * bg)
+
+            top_docs = np.concatenate([top_docs, cand])
+            top_scores = np.concatenate([top_scores, scores])
+            sel = np.lexsort((top_docs, -top_scores))[:k]
+            top_docs, top_scores = top_docs[sel], top_scores[sel]
+            if len(top_docs) >= k:
+                threshold = top_scores[-1]
+
+        return pd.DataFrame({"doc": top_docs, "score": top_scores})
+
+    return kernel
+
+
+def wand_sdm_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    mu: float = 1500.0,
+    uniw: float = 0.8,
+    odw: float = 0.15,
+    uww: float = 0.05,
+    od_width: int = 1,
+    uw_width: int = 8,
+    reader: PackedReader | None = None,
+    overfetch: int = 50,
+) -> DataFrame:
+    """#sdm top-k on the packed tier: window tfs from position payloads,
+    Dirichlet scoring identical to the exhaustive executor expansion
+    (traversals.sdm_traversal), block-max segment pruning. Rank-identical
+    to ``execute("#sdm(...)")`` (tested); ranking is computed on rounded
+    scores from ``k + overfetch`` raw candidates so rounding ties resolve
+    exactly like the relational/oracle path."""
+    from galago_git_spark.query.executor import node_stats, prefetch_node_stats
+    from galago_git_spark.query.nodes import Node, term_node
+
+    if reader is None:
+        reader = PackedReader(spark, index_dir, cache=False)
+    if not reader.params.get("positions"):
+        raise ValueError(
+            "wand_sdm_topk needs a packed layer with positions "
+            "(rebuild with build_packed over a positions build)"
+        )
+    idx = reader.index
+    cs = idx.collection_stats
+
+    plan = _sdm_scorer_plan(terms, uniw, odw, uww)
+    # statistics: unigram cf from termstats; window cf from the batched
+    # node-stats pass (one job for all windows, memoized on the Index)
+    stats = reader.term_stats(list(set(terms)))
+    window_nodes = {}
+    for w, kind, i, j in plan:
+        if kind == "od":
+            window_nodes[(kind, i, j)] = Node(
+                "ordered", {"default": od_width},
+                [term_node(terms[i]), term_node(terms[j])],
+            )
+        elif kind == "uw":
+            window_nodes[(kind, i, j)] = Node(
+                "unordered", {"default": uw_width},
+                [term_node(terms[i]), term_node(terms[j])],
+            )
+    prefetch_node_stats(
+        [Node("dirichlet", {}, [n]) for n in window_nodes.values()], idx
+    )
+    bgs = []
+    for w, kind, i, j in plan:
+        if kind == "uni":
+            ts = stats.get(terms[i])
+            cf = ts.cf if ts is not None and ts.cf > 0 else 0
+        else:
+            ns = node_stats(window_nodes[(kind, i, j)], idx)
+            cf = ns.cf
+        bgs.append((cf if cf > 0 else 0.5) / cs.collection_length)
+
+    k_fetch = k + overfetch
+    blocks = reader.blocks.filter(F.col("term").isin(list(set(terms))))
+    buckets = blocks.select("bucket").distinct()
+    lengths = reader.lengths_bucketed.join(
+        F.broadcast(buckets), "bucket", "left_semi"
+    )
+    kernel = _sdm_bucket_kernel(terms, plan, bgs, mu, k_fetch, od_width, uw_width)
+    candidates = (
+        blocks.groupBy("bucket")
+        .cogroup(lengths.groupBy("bucket"))
+        .applyInPandas(kernel, schema=_OUT_SCHEMA)
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        candidates.withColumn("score", F.round(F.col("score"), 6))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w_rank))
+    )

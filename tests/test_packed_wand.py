@@ -158,3 +158,68 @@ def test_wand_weighted_and_k(spark, packed_index):
 def test_wand_unknown_terms_only(spark, packed_index):
     out = wand_topk(spark, packed_index, ["zzz_not_a_term"], k=5)
     assert out.count() == 0
+
+
+# --- position payloads + #sdm on the packed tier ---------------------------
+
+def test_positions_block_roundtrip():
+    from galago_git_spark.index.codec import (
+        decode_positions_block,
+        encode_positions_block,
+    )
+
+    rows = [[1, 5, 9], [2], [3, 4, 5, 100], [7, 8]]
+    counts = np.array([len(r) for r in rows], dtype=np.int64)
+    flat = np.array([p for r in rows for p in r], dtype=np.uint64)
+    buf = encode_positions_block(flat, counts)
+    out = decode_positions_block(buf, counts)
+    assert list(out) == list(flat)
+    assert decode_positions_block(b"", np.array([], dtype=np.int64)).size == 0
+
+
+@pytest.fixture(scope="module")
+def packed_pos_index(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("packedpos") / "idx")
+    corpus = synthetic_code_corpus(spark, n_docs=400, seed=42, skew_head=True)
+    build_index(corpus, index_dir, positions=True)
+    build_packed(spark, index_dir, block_size=32, bucket_bits=7)
+    return index_dir
+
+
+SDM_QUERIES = [
+    ["get_load0", "set_block_v20"],
+    ["def", "return"],
+    ["the_head_term", "def", "get_load0"],
+]
+
+
+@pytest.mark.parametrize(
+    "terms", SDM_QUERIES, ids=["-".join(q)[:30] for q in SDM_QUERIES]
+)
+def test_sdm_wand_rank_identical_to_exhaustive(spark, packed_pos_index, terms):
+    from pyspark.sql import functions as F
+
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.executor import score_frame
+    from galago_git_spark.query.wand import wand_sdm_topk
+
+    idx = open_index(spark, packed_pos_index)
+    q = "#sdm(" + " ".join(terms) + ")"
+    # exhaustive ranking on ROUNDED scores (the oracle tie-break)
+    brute = (
+        score_frame(q, idx)
+        .withColumn("score", F.round(F.col("score"), 6))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(10)
+        .collect()
+    )
+    wand = wand_sdm_topk(spark, packed_pos_index, terms, k=10).collect()
+    assert [r["doc"] for r in wand] == [r["doc"] for r in brute]
+    assert [r["score"] for r in wand] == [r["score"] for r in brute]
+
+
+def test_sdm_wand_requires_positions(spark, packed_index):
+    from galago_git_spark.query.wand import wand_sdm_topk
+
+    with pytest.raises(ValueError, match="positions"):
+        wand_sdm_topk(spark, packed_index, ["def", "return"], k=5)
