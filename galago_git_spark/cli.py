@@ -294,6 +294,69 @@ def cmd_dump_term_stats(args: argparse.Namespace) -> dict:
     return {"cmd": "dump-term-stats", "terms": len(ts)}
 
 
+def cmd_xcount(args: argparse.Namespace) -> dict:
+    """``galago xcount`` analog (tools/apps/XCountFn.java:35-58): the
+    collection frequency of countable expressions (terms, windows)."""
+    spark = _get_spark(args.cores, "galago-xcount")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.executor import node_stats
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = open_index(spark, args.index)
+    counts = {}
+    for q in args.x:
+        node = transform(parse(q))
+        ns = node_stats(node, idx)
+        counts[q] = ns.cf
+        print(f"{ns.cf}\t{q}", file=sys.stderr)
+    spark.stop()
+    return {"cmd": "xcount", "counts": counts}
+
+
+_PART_KEYS = {
+    "postings": "term", "termstats": "term", "lengths": "doc",
+    "names": "doc", "extents": "field", "priors": "doc",
+    "fields": "field", "blocks": "term", "indicator": "doc",
+}
+
+
+def cmd_dump_keys(args: argparse.Namespace) -> dict:
+    """``galago dump-keys`` analog (tools/apps/DumpKeysFn.java): distinct
+    keys of an index part on stderr."""
+    spark = _get_spark(args.cores, "galago-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    key = _PART_KEYS.get(args.part)
+    if key is None:
+        raise SystemExit(f"unknown part {args.part!r}; one of {sorted(_PART_KEYS)}")
+    rows = (
+        spark.read.parquet(f"{args.index}/{args.part}")
+        .select(key).distinct().orderBy(key).limit(args.limit).collect()
+    )
+    for r in rows:
+        print(r[key], file=sys.stderr)
+    spark.stop()
+    return {"cmd": "dump-keys", "part": args.part, "keys": len(rows)}
+
+
+def cmd_dump_index(args: argparse.Namespace) -> dict:
+    """``galago dump-index`` analog (tools/apps/DumpIndexFn.java): full
+    rows of an index part as TSV on stderr."""
+    spark = _get_spark(args.cores, "galago-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    key = _PART_KEYS.get(args.part)
+    if key is None:
+        raise SystemExit(f"unknown part {args.part!r}; one of {sorted(_PART_KEYS)}")
+    df = spark.read.parquet(f"{args.index}/{args.part}")
+    cols = [c for c in df.columns if c not in ("docs", "tfs", "pos")]
+    rows = df.select(*cols).orderBy(key).limit(args.limit).collect()
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols), file=sys.stderr)
+    spark.stop()
+    return {"cmd": "dump-index", "part": args.part, "rows": len(rows)}
+
+
 def cmd_dump_lengths(args: argparse.Namespace) -> dict:
     """``galago dump-lengths`` analog: doc<tab>length on stderr."""
     spark = _get_spark(args.cores, "galago-dump")
@@ -416,6 +479,27 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--query", action="append", required=True)
     dc.add_argument("--cores", type=int, default=4)
     dc.set_defaults(fn=cmd_doccount)
+
+    xc = sub.add_parser("xcount")
+    xc.add_argument("--index", required=True)
+    xc.add_argument("--x", action="append", required=True,
+                    help="countable expression (repeatable)")
+    xc.add_argument("--cores", type=int, default=4)
+    xc.set_defaults(fn=cmd_xcount)
+
+    dk = sub.add_parser("dump-keys")
+    dk.add_argument("--index", required=True)
+    dk.add_argument("--part", default="termstats")
+    dk.add_argument("--limit", type=int, default=1000)
+    dk.add_argument("--cores", type=int, default=4)
+    dk.set_defaults(fn=cmd_dump_keys)
+
+    di = sub.add_parser("dump-index")
+    di.add_argument("--index", required=True)
+    di.add_argument("--part", default="postings")
+    di.add_argument("--limit", type=int, default=1000)
+    di.add_argument("--cores", type=int, default=4)
+    di.set_defaults(fn=cmd_dump_index)
 
     dts = sub.add_parser("dump-term-stats")
     dts.add_argument("--index", required=True)

@@ -38,7 +38,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -165,15 +167,19 @@ def build_index(
             and os.path.exists(os.path.join(index_dir, part, "_SUCCESS"))
         )
 
+    manifest_lock = threading.Lock()
+
     def record(part: str, path: str, t0: float, rows: int | None = None) -> None:
-        manifest["parts"][part] = {
+        entry = {
             "path": path,
             "seconds": round(time.time() - t0, 3),
             "rows": rows,
             "lineage": part_lineage(path),
         }
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=2)
+        with manifest_lock:
+            manifest["parts"][part] = entry
+            with open(manifest_path, "w") as f:
+                json.dump(manifest, f, indent=2)
 
     # No whole-corpus cache: each part is one streaming pass. The tokenize
     # UDF is cheap enough (Arrow-vectorized) that recomputation beats the
@@ -183,9 +189,14 @@ def build_index(
     # every token is in exactly one posting).
     numbered = assign_doc_ids(docs)
 
-    # names part (+ reverse map: one table serves both directions in Spark)
     names_path = os.path.join(index_dir, "names")
-    if not done("names"):
+    postings_path = os.path.join(index_dir, "postings")
+    lengths_path = os.path.join(index_dir, "lengths")
+    termstats_path = os.path.join(index_dir, "termstats")
+    stats_path = os.path.join(index_dir, "stats")
+
+    # names part (+ reverse map: one table serves both directions in Spark)
+    def write_names() -> None:
         t0 = time.time()
         (
             numbered.select(
@@ -203,8 +214,7 @@ def build_index(
     # Tokenization and per-doc term frequencies are fused in ONE Arrow UDF
     # pass (functions/tokenize.doc_term_freqs) — counts are final per
     # batch, so the only shuffle is the term-range write layout.
-    postings_path = os.path.join(index_dir, "postings")
-    if not done("postings"):
+    def write_postings() -> None:
         from galago_git_spark.functions.tokenize import doc_term_freqs
 
         t0 = time.time()
@@ -230,10 +240,42 @@ def build_index(
         )
         record("postings", postings_path, t0)
 
+    # extents part: line-structural field spans (NumberedExtentExtractor /
+    # WindowIndexWriter analog, ``index/disk/WindowIndexWriter.java:23-47``)
+    def write_extents() -> None:
+        from galago_git_spark.functions.fields import field_extents_col
+
+        extents_path = os.path.join(index_dir, "extents")
+        t0 = time.time()
+        (
+            numbered.select("doc", F.explode(field_extents_col(F.col("content"))).alias("ext"))
+            .select("doc", "ext.field", "ext.begin", "ext.end")
+            .repartitionByRange(num_term_partitions, "field", "doc")
+            .sortWithinPartitions("field", "doc", "begin")
+            .write.mode("overwrite")
+            .parquet(extents_path)
+        )
+        record("extents", extents_path, t0)
+
+    # typed fields part (FieldIndexWriter analog, ``index/disk/
+    # FieldIndexWriter.java``; format validation ``BuildIndex.java:502-517``)
+    def write_fields() -> None:
+        from galago_git_spark.index.fieldindex import build_field_part
+
+        fields_path = os.path.join(index_dir, "fields")
+        t0 = time.time()
+        (
+            build_field_part(numbered, field_formats, doc_col="doc")
+            .repartitionByRange(max(1, num_term_partitions // 4), "field", "doc")
+            .sortWithinPartitions("field", "doc")
+            .write.mode("overwrite")
+            .parquet(fields_path)
+        )
+        record("fields", fields_path, t0)
+
     # lengths part (DiskLengthsWriter analog): derived from postings —
     # length(doc) = sum of its tfs; zero-length docs filled from names.
-    lengths_path = os.path.join(index_dir, "lengths")
-    if not done("lengths"):
+    def write_lengths() -> None:
         t0 = time.time()
         post_lengths = (
             spark.read.parquet(postings_path)
@@ -252,49 +294,8 @@ def build_index(
         )
         record("lengths", lengths_path, t0)
 
-    # extents part: line-structural field spans (NumberedExtentExtractor /
-    # WindowIndexWriter analog, ``index/disk/WindowIndexWriter.java:23-47``)
-    if fields:
-        extents_path = os.path.join(index_dir, "extents")
-        if not done("extents"):
-            from galago_git_spark.functions.fields import field_extents_col
-
-            t0 = time.time()
-            (
-                numbered.select("doc", F.explode(field_extents_col(F.col("content"))).alias("ext"))
-                .select("doc", "ext.field", "ext.begin", "ext.end")
-                .repartitionByRange(num_term_partitions, "field", "doc")
-                .sortWithinPartitions("field", "doc", "begin")
-                .write.mode("overwrite")
-                .parquet(extents_path)
-            )
-            record("extents", extents_path, t0)
-
-    # typed fields part (FieldIndexWriter analog, ``index/disk/
-    # FieldIndexWriter.java``; format validation ``BuildIndex.java:502-517``)
-    # — narrow typed rows from corpus metadata columns, doc-ranged for
-    # predicate pushdown at comparison time
-    if field_formats:
-        from galago_git_spark.index.fieldindex import build_field_part
-
-        fields_path = os.path.join(index_dir, "fields")
-        manifest["params"]["field_formats"] = dict(field_formats)
-        if not done("fields"):
-            t0 = time.time()
-            (
-                build_field_part(numbered, field_formats, doc_col="doc")
-                .repartitionByRange(
-                    max(1, num_term_partitions // 4), "field", "doc"
-                )
-                .sortWithinPartitions("field", "doc")
-                .write.mode("overwrite")
-                .parquet(fields_path)
-            )
-            record("fields", fields_path, t0)
-
     # per-term statistics (NodeStatistics: df, cf, maximumCount)
-    termstats_path = os.path.join(index_dir, "termstats")
-    if not done("termstats"):
+    def write_termstats() -> None:
         t0 = time.time()
         (
             spark.read.parquet(postings_path)
@@ -314,13 +315,16 @@ def build_index(
     # global field statistics — single tiny row (FieldStatistics analog);
     # CL/N derive from the lengths part (this is what makes scores
     # rank-identical to the reference, see query/scoring.py docstring).
-    stats_path = os.path.join(index_dir, "stats")
-    if not done("stats"):
+    # vocab comes from the termstats parquet FOOTERS (part_lineage) — a
+    # driver-side metadata read, not a Spark job.
+    def write_stats() -> None:
         t0 = time.time()
-        lengths_df = spark.read.parquet(lengths_path)
-        vocab = spark.read.parquet(termstats_path).count()
+        vocab = sum(
+            r["rows"] for r in manifest["parts"]["termstats"]["lineage"]
+        )
         (
-            lengths_df.agg(
+            spark.read.parquet(lengths_path)
+            .agg(
                 F.sum("length").alias("collection_length"),
                 F.count(F.lit(1)).alias("document_count"),
                 F.avg("length").alias("avg_doc_length"),
@@ -333,6 +337,36 @@ def build_index(
             .parquet(stats_path)
         )
         record("stats", stats_path, t0)
+
+    if field_formats:
+        with manifest_lock:
+            manifest["params"]["field_formats"] = dict(field_formats)
+
+    # Two dependency waves, each wave's independent parts written on
+    # concurrent driver threads (Spark schedules their jobs side by side,
+    # filling the cores a single job's low-parallelism phases leave idle —
+    # this removed most of the serial small-part fraction that held build
+    # scaling under the 0.8 bar in round 1):
+    #   wave 1: names | postings | extents? | fields?   (corpus scans)
+    #   wave 2: lengths | termstats                     (postings scans)
+    #   then:   stats                                   (lengths + footers)
+    wave1 = [("names", write_names), ("postings", write_postings)]
+    if fields:
+        wave1.append(("extents", write_extents))
+    if field_formats:
+        wave1.append(("fields", write_fields))
+    wave2 = [("lengths", write_lengths), ("termstats", write_termstats)]
+    for wave in (wave1, wave2):
+        todo = [fn for part, fn in wave if not done(part)]
+        if len(todo) == 1:
+            todo[0]()
+        elif todo:
+            with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+                futures = [pool.submit(fn) for fn in todo]
+                for f in futures:
+                    f.result()
+    if not done("stats"):
+        write_stats()
 
     return manifest
 
@@ -354,6 +388,8 @@ class Index:
     priors: DataFrame | None = None  # (doc, prior) log-space static scores
     fields_part: DataFrame | None = None  # typed (doc, field, sval, nval, dval)
     field_formats: dict | None = None  # field -> string/int/long/float/double/date
+    indicator: DataFrame | None = None  # (doc, indicator bool) part
+    indicator_default: bool = False  # value for docs absent from the part
 
     _termstats_cache: dict | None = None
     _node_stats_cache: dict | None = None  # str(node) -> TermStats
@@ -401,14 +437,33 @@ def open_index(spark: SparkSession, index_dir: str) -> Index:
     )
     field_formats = None
     manifest_path = os.path.join(index_dir, "manifest.json")
-    if fields_part is not None and os.path.exists(manifest_path):
+    manifest_json = None
+    if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            field_formats = json.load(f)["params"].get("field_formats")
+            manifest_json = json.load(f)
+    if fields_part is not None and manifest_json:
+        field_formats = manifest_json["params"].get("field_formats")
+    indicator_path = os.path.join(index_dir, "indicator")
+    indicator = (
+        spark.read.parquet(indicator_path)
+        if os.path.exists(indicator_path)
+        else None
+    )
+    indicator_default = False
+    if indicator is not None and manifest_json:
+        indicator_default = bool(
+            manifest_json.get("parts", {})
+            .get("indicator", {})
+            .get("params", {})
+            .get("default", False)
+        )
     return Index(
         extents=extents,
         priors=priors,
         fields_part=fields_part,
         field_formats=field_formats,
+        indicator=indicator,
+        indicator_default=indicator_default,
         window_parts=load_window_parts(spark, index_dir) or None,
         spark=spark,
         index_dir=index_dir,
@@ -474,6 +529,45 @@ def build_prior_part(
             manifest = json.load(f)
     manifest["parts"]["priors"] = {
         "path": path, "seconds": round(time.time() - t0, 3)
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return path
+
+
+def build_indicator_part(
+    indicators: DataFrame,
+    index_dir: str,
+    default: bool = False,
+    num_partitions: int | None = None,
+) -> str:
+    """Write the document-indicator part — the DocumentIndicatorWriter
+    analog (``core/.../index/disk/DocumentIndicatorWriter.java:20-40``,
+    reader default semantics ``DocumentIndicatorReader``): ``indicators``
+    is (doc, indicator bool); docs absent from the part take ``default``
+    at query time (#indicator, executor.compile_indicator)."""
+    spark = indicators.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    path = os.path.join(index_dir, "indicator")
+    t0 = time.time()
+    (
+        indicators.select(
+            F.col("doc").cast("long"), F.col("indicator").cast("boolean")
+        )
+        .repartitionByRange(num_partitions, "doc")
+        .sortWithinPartitions("doc")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    manifest = {"params": {}, "parts": {}}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    manifest["parts"]["indicator"] = {
+        "path": path, "seconds": round(time.time() - t0, 3),
+        "params": {"default": default},
     }
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)

@@ -340,6 +340,17 @@ def compile_indicator(node: Node, index: Index) -> DataFrame:
     if op == "not":
         child = compile_indicator(node.children[0], index)
         return index.lengths.select("doc").join(child, "doc", "left_anti")
+    if op == "indicator":
+        # document-indicator part (DocumentIndicatorWriter.java:20-40;
+        # DocumentIndicatorReader default semantics): docs absent from the
+        # part take the build-time default
+        if index.indicator is None:
+            raise ValueError("#indicator requires an indicator part")
+        on = index.indicator.filter(F.col("indicator")).select("doc")
+        if not index.indicator_default:
+            return on
+        off = index.indicator.filter(~F.col("indicator")).select("doc")
+        return index.lengths.select("doc").join(off, "doc", "left_anti")
     if op in ("greater", "less", "between", "equals"):
         # typed field comparison over the fields part
         # (FieldComparisonIterator.java:45-81; index/fieldindex.py)

@@ -1,0 +1,115 @@
+"""Service/debug tools tail: snippets (SnippetGenerator.java:20-160),
+indicator part (DocumentIndicatorWriter.java:20-40), xcount
+(XCountFn.java:35-58), dump-keys/dump-index (DumpKeysFn/DumpIndexFn)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from galago_git_spark.operators.snippets import best_snippet, snippets_frame
+
+
+def test_best_snippet_highlights_and_windows():
+    text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "needle lambda mu nu xi omicron pi rho sigma tau"
+    )
+    s = best_snippet(text, ["needle"])
+    assert "<strong>needle</strong>" in s
+    # half-width 5 window around the match, ellipses at both cut edges
+    assert s.startswith("...") and s.endswith("...")
+    assert "zeta" in s and "alpha" not in s and "tau" not in s
+
+
+def test_best_snippet_merges_near_matches():
+    text = "x " * 30 + "cat dog " + "y " * 30
+    s = best_snippet(text, ["cat", "dog"])
+    assert "<strong>cat</strong> <strong>dog</strong>" in s
+
+
+def test_best_snippet_no_match_leading_text():
+    s = best_snippet("one two three four five six seven eight", ["zzz"])
+    assert s.startswith("one two")
+    assert "<strong>" not in s
+
+
+def test_snippets_frame(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "lazy dog sleeps")],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r["snippet"] for r in snippets_frame(docs, ["fox", "dog"]).collect()}
+    assert "<strong>fox</strong>" in out[1]
+    assert "<strong>dog</strong>" in out[2]
+
+
+def test_indicator_part_roundtrip(spark, tmp_path):
+    from galago_git_spark.index.build import (
+        build_index,
+        build_indicator_part,
+        open_index,
+    )
+    from galago_git_spark.query.executor import compile_indicator, execute
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+    from galago_git_spark.sources.corpus import synthetic_code_corpus
+
+    corpus = synthetic_code_corpus(spark, n_docs=30, seed=5)
+    build_index(corpus, str(tmp_path))
+    ind = spark.createDataFrame(
+        [(d, d % 3 == 0) for d in range(30)], "doc long, indicator boolean"
+    )
+    build_indicator_part(ind, str(tmp_path))
+    idx = open_index(spark, str(tmp_path))
+    got = {
+        r["doc"]
+        for r in compile_indicator(transform(parse("#indicator()")), idx).collect()
+    }
+    assert got == {d for d in range(30) if d % 3 == 0}
+    # composes with #require at the ranking level
+    out = execute("#require(#indicator() #combine(def))", idx, k=30).collect()
+    assert out and all(r["doc"] % 3 == 0 for r in out)
+
+
+def _cli(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-m", "galago_git_spark", *args],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    return json.loads(
+        [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    )
+
+
+@pytest.fixture(scope="module")
+def cli_index(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cliidx") / "idx")
+    _cli(["build", "--input", "synthetic:50", "--index", d, "--positions",
+          "--cores", "2"])
+    return d
+
+
+def test_xcount_cli(spark, cli_index):
+    r = _cli(["xcount", "--index", cli_index, "--x", "def",
+              "--x", "#od:1(def def)", "--cores", "2"])
+    # oracle: cf of 'def' from the termstats part
+    cf = (
+        spark.read.parquet(f"{cli_index}/termstats")
+        .filter(F.col("term") == "def").collect()[0]["cf"]
+    )
+    assert r["counts"]["def"] == cf
+    assert r["counts"]["#od:1(def def)"] >= 0
+
+
+def test_dump_keys_and_index_cli(cli_index):
+    r = _cli(["dump-keys", "--index", cli_index, "--part", "termstats",
+              "--limit", "50", "--cores", "2"])
+    assert r["keys"] > 0
+    r2 = _cli(["dump-index", "--index", cli_index, "--part", "lengths",
+               "--limit", "10", "--cores", "2"])
+    assert r2["rows"] == 10
