@@ -50,6 +50,10 @@ from pyspark.storagelevel import StorageLevel
 from galago_git_spark.functions.tokenize import tokenize_col, tokenize_pandas
 from galago_git_spark.query.scoring import CollectionStats, TermStats
 
+# serializes every read-modify-write of a manifest.json (concurrent part
+# writers run on driver threads; the packed builder shares this lock)
+MANIFEST_LOCK = threading.Lock()
+
 PARTS = ("names", "lengths", "postings", "termstats", "stats")
 
 
@@ -141,6 +145,9 @@ def build_index(
     field_formats: dict[str, str] | None = None,
     num_term_partitions: int | None = None,
     resume: bool = False,
+    packed: bool = False,
+    block_size: int | None = None,
+    bucket_bits: int | None = None,
 ) -> dict:
     """Build all relational index parts under ``index_dir``.
 
@@ -167,8 +174,6 @@ def build_index(
             and os.path.exists(os.path.join(index_dir, part, "_SUCCESS"))
         )
 
-    manifest_lock = threading.Lock()
-
     def record(part: str, path: str, t0: float, rows: int | None = None) -> None:
         entry = {
             "path": path,
@@ -176,7 +181,14 @@ def build_index(
             "rows": rows,
             "lineage": part_lineage(path),
         }
-        with manifest_lock:
+        with MANIFEST_LOCK:
+            # merge against the on-disk state: a concurrent writer (the
+            # fused packed builder) may have added entries since our copy
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    on_disk = json.load(f)
+                for k, v in on_disk.get("parts", {}).items():
+                    manifest["parts"].setdefault(k, v)
             manifest["parts"][part] = entry
             with open(manifest_path, "w") as f:
                 json.dump(manifest, f, indent=2)
@@ -339,7 +351,7 @@ def build_index(
         record("stats", stats_path, t0)
 
     if field_formats:
-        with manifest_lock:
+        with MANIFEST_LOCK:
             manifest["params"]["field_formats"] = dict(field_formats)
 
     # Two dependency waves, each wave's independent parts written on
@@ -355,7 +367,38 @@ def build_index(
         wave1.append(("extents", write_extents))
     if field_formats:
         wave1.append(("fields", write_fields))
+    # packed vbyte block layer, fused into wave 2: its lengths/avgdl
+    # derive from the postings parquet directly (zero-length docs never
+    # appear in blocks; document_count comes from the names FOOTERS), so
+    # blocks build CONCURRENTLY with the lengths/termstats parts instead
+    # of serially after them
+    def write_blocks() -> None:
+        from galago_git_spark.index.packed import (
+            DEFAULT_BLOCK_SIZE,
+            DEFAULT_BUCKET_BITS,
+            build_packed,
+        )
+
+        post_lengths = (
+            spark.read.parquet(postings_path)
+            .groupBy("doc")
+            .agg(F.sum("tf").cast("int").alias("length"))
+        )
+        n_docs = sum(r["rows"] for r in manifest["parts"]["names"]["lineage"])
+        cl = post_lengths.agg(F.sum("length")).collect()[0][0] or 0
+        build_packed(
+            spark,
+            index_dir,
+            block_size=block_size or DEFAULT_BLOCK_SIZE,
+            bucket_bits=bucket_bits or DEFAULT_BUCKET_BITS,
+            num_partitions=num_term_partitions,
+            lengths=post_lengths,
+            avgdl=cl / max(n_docs, 1),
+        )
+
     wave2 = [("lengths", write_lengths), ("termstats", write_termstats)]
+    if packed:
+        wave2.append(("blocks", write_blocks))
     for wave in (wave1, wave2):
         todo = [fn for part, fn in wave if not done(part)]
         if len(todo) == 1:
@@ -368,7 +411,11 @@ def build_index(
     if not done("stats"):
         write_stats()
 
-    return manifest
+    # the packed thread merges its entry straight into the on-disk
+    # manifest; return the authoritative state
+    with MANIFEST_LOCK:
+        with open(manifest_path) as f:
+            return json.load(f)
 
 
 @dataclass

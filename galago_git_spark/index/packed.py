@@ -171,12 +171,19 @@ def build_packed(
     bucket_bits: int = DEFAULT_BUCKET_BITS,
     num_partitions: int | None = None,
     resume: bool = False,
+    lengths: DataFrame | None = None,
+    avgdl: float | None = None,
 ) -> dict:
     """Build the ``blocks`` part from the relational postings part.
 
     Returns the block-layer params (also recorded in manifest.json so the
     query side picks up the same bucket geometry). With ``resume=True`` a
     manifest-committed blocks part with a _SUCCESS marker is reused.
+
+    ``lengths``/``avgdl`` may be supplied by the caller (build_index's
+    fused wave passes a postings-derived lengths frame) so the pack job
+    does not have to wait for the lengths/stats parts — blocks then build
+    CONCURRENTLY with them.
     """
     manifest_path_early = os.path.join(index_dir, "manifest.json")
     if resume and os.path.exists(manifest_path_early):
@@ -193,9 +200,11 @@ def build_packed(
     has_positions = "positions" in postings_raw.columns
     cols = ["term", "doc", "tf"] + (["positions"] if has_positions else [])
     postings = postings_raw.select(*cols)
-    lengths = spark.read.parquet(os.path.join(index_dir, "lengths"))
-    stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
-    avgdl = stats["collection_length"] / stats["document_count"]
+    if lengths is None:
+        lengths = spark.read.parquet(os.path.join(index_dir, "lengths"))
+    if avgdl is None:
+        stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        avgdl = stats["collection_length"] / stats["document_count"]
 
     k, b = BM25_K, BM25_B
     tfn = (F.col("tf") * (k + 1)) / (
@@ -208,18 +217,18 @@ def build_packed(
         .select("term", "bucket", "doc", "tf", "tfn",
                 *(["positions"] if has_positions else []))
     )
+    # ONE range shuffle keyed (term, bucket, doc): the encode stream sees
+    # each (term, bucket) group contiguously (a group split at a range
+    # boundary just yields an extra, smaller block — doc ranges stay
+    # disjoint), and the encoded blocks come out globally range-ordered,
+    # so they write directly — no second shuffle of the block rows.
     blocks = (
-        enriched.repartition(num_partitions, "term", "bucket")
+        enriched.repartitionByRange(num_partitions, "term", "bucket", "doc")
         .sortWithinPartitions("term", "bucket", "doc")
         .mapInPandas(_pack_stream(block_size), schema=BLOCKS_SCHEMA)
     )
     blocks_path = os.path.join(index_dir, "blocks")
-    (
-        blocks.repartitionByRange(num_partitions, "term", "bucket")
-        .sortWithinPartitions("term", "bucket", "first_doc")
-        .write.mode("overwrite")
-        .parquet(blocks_path)
-    )
+    blocks.write.mode("overwrite").parquet(blocks_path)
 
     params = {
         "block_size": block_size,
@@ -229,21 +238,23 @@ def build_packed(
         "avgdl": avgdl,
         "positions": has_positions,
     }
-    manifest_path = os.path.join(index_dir, "manifest.json")
-    manifest = {"params": {}, "parts": {}}
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-    from galago_git_spark.index.build import part_lineage
+    from galago_git_spark.index.build import MANIFEST_LOCK, part_lineage
 
-    manifest["parts"]["blocks"] = {
+    entry = {
         "path": blocks_path,
         "seconds": round(time.time() - t0, 3),
         "params": params,
         "lineage": part_lineage(blocks_path),
     }
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=2)
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with MANIFEST_LOCK:
+        manifest = {"params": {}, "parts": {}}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        manifest["parts"]["blocks"] = entry
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
     return params
 
 

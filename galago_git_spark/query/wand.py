@@ -190,11 +190,22 @@ class PackedReader:
     own pruned scans. Thread-safe: used by the ThreadedBatchSearch-style
     ``cli batch-search --threads``."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+    # above this vocab size the full termstats map is NOT pulled to the
+    # driver (a 2M-term map is already ~hundreds of MB of driver heap);
+    # per-query pruned scans are used instead
+    DEFAULT_MAX_DRIVER_VOCAB = 500_000
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True,
+                 max_driver_vocab: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
         self.params = packed_params(index_dir)
         self.index = open_index(spark, index_dir)
+        self.max_driver_vocab = (
+            self.DEFAULT_MAX_DRIVER_VOCAB
+            if max_driver_vocab is None
+            else max_driver_vocab
+        )
         self.blocks = read_blocks(spark, index_dir)
         self.lengths_bucketed = self.index.lengths.withColumn(
             "bucket",
@@ -213,7 +224,7 @@ class PackedReader:
         if not self._cache:
             return self.index.term_stats(terms)
         if self._ts_map is None:
-            if self.index.termstats.count() <= 2_000_000:
+            if self.index.termstats.count() <= self.max_driver_vocab:
                 from galago_git_spark.query.scoring import TermStats
 
                 self._ts_map = {

@@ -106,6 +106,41 @@ def _burn(n: int) -> float:
     return time.perf_counter() - t0
 
 
+def bandwidth_ceiling(levels: list[int], units: int = 32,
+                      n: int = 64_000_000) -> dict:
+    """Streaming-copy burn: the memory-BANDWIDTH scaling ceiling. Spark's
+    shuffle/scan stages are bandwidth-bound, so this (not the arithmetic
+    ceiling) bounds what a build job can scale to on one box: more cores
+    share the same memory controllers."""
+    import multiprocessing as mp
+    import time
+
+    def run(procs: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_copy_burn, [n] * units)
+        return units / (time.perf_counter() - t0)
+
+    lo, hi = run(levels[0]), run(levels[1])
+    return {
+        "throughput": {str(levels[0]): round(lo, 2), str(levels[1]): round(hi, 2)},
+        "efficiency": round((hi / lo) / (levels[1] / levels[0]), 4),
+    }
+
+
+def _copy_burn(n: int) -> float:
+    import time
+
+    import numpy as np
+
+    a = np.empty(n, dtype=np.uint8)
+    b = np.frombuffer(bytes(n), dtype=np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        np.copyto(a, b)
+    return time.perf_counter() - t0
+
+
 def materialize_corpus(n_docs: int, path: str) -> None:
     """Generate the synthetic corpus ONCE so both runs read identical input."""
     code = f"""
@@ -133,8 +168,9 @@ def main() -> int:
     assert len(levels) == 2 and levels[1] > levels[0]
 
     results: dict = {"n_docs": args.n_docs, "levels": {}}
-    print("calibrating hardware ceiling ...", file=sys.stderr)
+    print("calibrating hardware ceilings ...", file=sys.stderr)
     results["cpu_ceiling"] = cpu_ceiling(levels)
+    results["bandwidth_ceiling"] = bandwidth_ceiling(levels)
     with tempfile.TemporaryDirectory(prefix="scaling_") as tmp:
         if args.input:
             corpus = args.input
