@@ -24,6 +24,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<quoted>"[^"]*") |
+    (?P<escaped>@(?P<edelim>\S)(?P<ebody>.*?)(?P=edelim)) |
     (?P<op>\#[\w-]+(?::[^\s()#":]+)*) |
     (?P<term>[^\s()#"]+)
     """,
@@ -91,6 +92,8 @@ def parse(query: str) -> Node:
     stack: list[Node] = [Node("root")]
     for m in _TOKEN_RE.finditer(query):
         kind = m.lastgroup
+        if m.group("escaped") is not None:
+            kind = "escaped"  # lastgroup reports the inner (ebody) group
         tok = m.group()
         if kind == "op":
             node = _parse_op(tok)
@@ -103,6 +106,10 @@ def parse(query: str) -> Node:
             if len(stack) == 1:
                 raise ValueError(f"unbalanced ')' in {query!r}")
             stack.pop()
+        elif kind == "escaped":
+            # @/a b c/ — SPECIALQUOTE: the body is ONE term, delimiter is
+            # the char after '@' (StructuredLexer.java:152-165)
+            stack[-1].children.append(term_node(m.group("ebody")))
         elif kind == "quoted":
             terms = tok.strip('"').split()
             if len(terms) == 1:

@@ -140,3 +140,17 @@ def test_multi_field_restriction_extentor(spark):
     }
     assert got2 == got
     docs.unpersist()
+
+
+def test_escaped_term_syntax():
+    """@/.../ SPECIALQUOTE escapes (StructuredLexer.java:152-165):
+    the body is a single term; works as #between values
+    (BetweenIteratorTest.java:54 pattern)."""
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    n = parse("#combine(@/document faaa/ cat)")
+    assert str(n.children[0]) == "#counts:document faaa()"
+    b = transform(parse("#between(#field:title() @/document faaa/ @/document fzzz/)"))
+    assert b.parameters["0"] == "document faaa"
+    assert b.parameters["1"] == "document fzzz"
