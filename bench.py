@@ -82,17 +82,17 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_index_")
     index_dir = os.path.join(tmp, "idx")
     try:
-        # 1. index build (relational parts + packed block layer, WITH
-        # positions — the full-featured config: phrase/#sdm queries and
-        # the positional packed tier need them)
-        timed("build_index", lambda: build_index(docs, index_dir, positions=True))
-        try:
-            from galago_git_spark.index.packed import build_packed
-
-            timed("build_packed", lambda: build_packed(spark, index_dir))
-            has_packed = True
-        except ImportError:
-            has_packed = False
+        # 1. index build (relational parts + packed block layer in ONE
+        # fused call: blocks build concurrently with lengths/termstats in
+        # wave 2 — index/build.py), WITH positions: the full-featured
+        # config (phrase/#sdm queries + the positional packed tier).
+        # r1 reported build_index + build_packed separately; the fused
+        # wall time here covers BOTH.
+        timed(
+            "build_index",
+            lambda: build_index(docs, index_dir, positions=True, packed=True),
+        )
+        has_packed = True
 
         idx = open_index(spark, index_dir)
         # warm the tiny broadcast side once so query timings measure queries
@@ -170,7 +170,7 @@ def main() -> None:
         spark.stop()
 
     total = round(sum(timings.values()), 4)
-    build_sec = timings.get("build_index", 0.0) + timings.get("build_packed", 0.0)
+    build_sec = timings.get("build_index", 0.0)  # fused: includes packed
     result = {
         "metric": "index-build + BM25 top-10 pipeline wall time",
         "value": total,

@@ -269,6 +269,49 @@ def build_index(
         )
         record("extents", extents_path, t0)
 
+    # field-scoped postings part — the InsideToFieldPartTraversal target
+    # (``traversal/InsideToFieldPartTraversal.java``: #inside(#extents:t
+    # #field:f) resolves to a direct field-part lookup when one was
+    # built). (field, term, doc, tf, positions) with positions global
+    # (document-coordinate), deduped across overlapping extents exactly
+    # like the containment join it replaces.
+    def write_fieldpostings() -> None:
+        from galago_git_spark.functions.fields import field_extents_col
+
+        fp_path = os.path.join(index_dir, "fieldpostings")
+        t0 = time.time()
+        toks = (
+            numbered.select(
+                "doc",
+                F.posexplode(tokenize_pandas(F.col("content"))).alias(
+                    "pos0", "term"
+                ),
+            )
+            .withColumn("pos", F.col("pos0") + 1)
+            .drop("pos0")
+        )
+        ext = numbered.select(
+            "doc", F.explode(field_extents_col(F.col("content"))).alias("ext")
+        ).select("doc", "ext.field", "ext.begin", "ext.end")
+        part = (
+            toks.join(ext, "doc")
+            .filter((F.col("pos") >= F.col("begin")) & (F.col("pos") + 1 <= F.col("end")))
+            .select("field", "term", "doc", "pos")
+            .distinct()
+            .groupBy("field", "term", "doc")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        )
+        (
+            part.repartitionByRange(num_term_partitions, "field", "term", "doc")
+            .sortWithinPartitions("field", "term", "doc")
+            .write.mode("overwrite")
+            .parquet(fp_path)
+        )
+        record("fieldpostings", fp_path, t0)
+
     # typed fields part (FieldIndexWriter analog, ``index/disk/
     # FieldIndexWriter.java``; format validation ``BuildIndex.java:502-517``)
     def write_fields() -> None:
@@ -365,6 +408,7 @@ def build_index(
     wave1 = [("names", write_names), ("postings", write_postings)]
     if fields:
         wave1.append(("extents", write_extents))
+        wave1.append(("fieldpostings", write_fieldpostings))
     if field_formats:
         wave1.append(("fields", write_fields))
     # packed vbyte block layer, fused into wave 2: its lengths/avgdl
@@ -437,6 +481,7 @@ class Index:
     field_formats: dict | None = None  # field -> string/int/long/float/double/date
     indicator: DataFrame | None = None  # (doc, indicator bool) part
     indicator_default: bool = False  # value for docs absent from the part
+    field_postings: DataFrame | None = None  # (field, term, doc, tf, positions)
 
     _termstats_cache: dict | None = None
     _node_stats_cache: dict | None = None  # str(node) -> TermStats
@@ -504,6 +549,10 @@ def open_index(spark: SparkSession, index_dir: str) -> Index:
             .get("params", {})
             .get("default", False)
         )
+    fp_path = os.path.join(index_dir, "fieldpostings")
+    field_postings = (
+        spark.read.parquet(fp_path) if os.path.exists(fp_path) else None
+    )
     return Index(
         extents=extents,
         priors=priors,
@@ -511,6 +560,7 @@ def open_index(spark: SparkSession, index_dir: str) -> Index:
         field_formats=field_formats,
         indicator=indicator,
         indicator_default=indicator_default,
+        field_postings=field_postings,
         window_parts=load_window_parts(spark, index_dir) or None,
         spark=spark,
         index_dir=index_dir,

@@ -362,6 +362,67 @@ scored AS (
   JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cf)"""
 
 
+def q_pdfr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#pdfr(t1 t2) — ProximityDFRTraversal.java:45-128: PL2(c=6) unigrams
+    mixed termLambda/(1-termLambda) with BiL2(c=0.05) over #od:5 bigrams."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame("#pdfr:termLambda=0.8(data table)", idx))
+
+
+def _sql_pdfr(t1: str, t2: str, tw: float = 0.8, c: float = 6.0,
+              cp: float = 0.05, width: int = 5) -> str:
+    pw = 1.0 - tw
+    inf = 1 << 40
+
+    def pl2(tf: str, cf: str) -> str:
+        return f"""(CASE WHEN {tf} > 0 THEN greatest(
+  (1.0 / ({tf} * log2(1 + {c} * (cs.cl / cs.n) / l.length) + 1))
+  * ({tf} * log2(1 + {c} * (cs.cl / cs.n) / l.length) * log2(cs.n / {cf})
+     + ({cf} / cs.n) / ln(2)
+     + 0.5 * log2(2 * pi() * {tf} * log2(1 + {c} * (cs.cl / cs.n) / l.length))
+     + {tf} * log2(1 + {c} * (cs.cl / cs.n) / l.length)
+       * (log2({tf} * log2(1 + {c} * (cs.cl / cs.n) / l.length)) - 1 / ln(2))),
+  0) ELSE 0 END)"""
+
+    # BiL2 with TFN = tf*log2(1+cp*avgdl/len), pp = 1/(len-1),
+    # stirling(v) = v*ln(v)-v+1 (scoring.bil2_col; BiL2ScoringIterator)
+    def bil2(tf: str) -> str:
+        tfn = f"({tf} * log2(1 + {cp} * (cs.cl / cs.n) / l.length))"
+        st = "({v} * ln({v}) - {v} + 1)"
+        return f"""(CASE WHEN {tf} > 0 AND l.length > 1
+                    AND l.length - 1 - {tfn} > 0 THEN
+  (1.0 / ({tfn} + 1)) * (
+    -{st.format(v='(l.length - 1)')}
+    + {st.format(v=tfn)}
+    + {st.format(v=f'(l.length - 1 - {tfn})')}
+    - {tf} * log2(1.0 / (l.length - 1))
+    - (l.length - 1 - {tfn}) * log2(1 - 1.0 / (l.length - 1)))
+  ELSE 0 END)"""
+
+    return f"""WITH {TOKS}, {POS}, {LENS}, {CS},
+pa AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = '{t1}' GROUP BY doc),
+pb AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = '{t2}' GROUP BY doc),
+ua AS (SELECT doc, len(ps)::double AS tf FROM pa),
+ub AS (SELECT doc, len(ps)::double AS tf FROM pb),
+odw AS (SELECT a.doc,
+               len(list_filter(a.ps, e ->
+                   coalesce(list_min(list_filter(b.ps, f -> f >= e + 1)), {inf})
+                   - (e + 1) < {width}))::double AS tf
+        FROM pa a JOIN pb b USING (doc)),
+cfs AS (SELECT (SELECT coalesce(sum(tf), 0) FROM ua) AS cf_a,
+               (SELECT coalesce(sum(tf), 0) FROM ub) AS cf_b),
+cand AS (SELECT doc FROM pa UNION SELECT doc FROM pb),
+scored AS (
+  SELECT c.doc,
+         {tw} * 0.5 * {pl2('coalesce(ua.tf, 0)', 'cfs.cf_a')}
+       + {tw} * 0.5 * {pl2('coalesce(ub.tf, 0)', 'cfs.cf_b')}
+       + {pw} * {bil2('coalesce(odw.tf, 0)')} AS s
+  FROM cand c
+  LEFT JOIN ua USING (doc) LEFT JOIN ub USING (doc)
+  LEFT JOIN odw USING (doc)
+  JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cfs)"""
+
+
 def q_wsdm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#wsdm(fast table) with default feature lambdas
     (WeightedSequentialDependenceTraversal.java:102-108): unnormalized
@@ -1235,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_ordered_window": q_ordered_window,
         "fti_unordered_window": q_unordered_window,
         "fti_sdm_topk": q_sdm,
+        "fti_pdfr_topk": q_pdfr,
         "fti_wsdm_topk": q_wsdm,
         "fti_wsum_topk": q_wsum,
         "fti_synonym": q_synonym_counts,
@@ -1285,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "fti_jm_topk": _rank_sql(_sql_jm(JM_TERMS)),
         "fti_weighted_combine_topk": _rank_sql(_sql_bm25(WEIGHTED_TERMS)),
         "fti_pl2_topk": _rank_sql(_sql_pl2([("group", 1.0), ("order", 1.0)])),
+        "fti_pdfr_topk": _rank_sql(_sql_pdfr("data", "table")),
         "fti_inl2_topk": _rank_sql(_sql_inl2([("window", 1.0), ("batch", 1.0)])),
         "fti_ordered_window": SQL_ORDERED_WINDOW,
         "fti_unordered_window": SQL_UNORDERED_WINDOW,

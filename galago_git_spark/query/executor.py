@@ -200,9 +200,6 @@ def compile_count(node: Node, index: Index) -> DataFrame:
         # check. Requires a positions build. The field side may be an
         # #extentor over several fields (`x.f1,f2` — StructuredQuery.java:
         # 149-160): the union of their extents.
-        if index.extents is None:
-            raise ValueError("#inside requires an index built with fields=True")
-        x = compile_count(node.children[0], index)
         fnode = node.children[1]
         if fnode.operator == "extentor":
             fnames = [str(c.default_param) for c in fnode.children]
@@ -210,6 +207,25 @@ def compile_count(node: Node, index: Index) -> DataFrame:
             fnames = [str(fnode.default_param)]
         else:
             raise ValueError("#inside second child must be #field:name()")
+        # InsideToFieldPartTraversal.java: a term leaf restricted to one
+        # field resolves to the prebuilt field-postings part — a pruned
+        # columnar scan instead of the containment join (result-identical,
+        # tested)
+        from galago_git_spark.query.nodes import is_term_leaf
+
+        if (
+            index.field_postings is not None
+            and len(fnames) == 1
+            and is_term_leaf(node.children[0])
+            and not node.get_bool("noOpt", False)
+        ):
+            return index.field_postings.filter(
+                (F.col("field") == fnames[0])
+                & (F.col("term") == str(node.children[0].default_param))
+            ).select("doc", "tf", "positions")
+        if index.extents is None:
+            raise ValueError("#inside requires an index built with fields=True")
+        x = compile_count(node.children[0], index)
         fext = index.extents.filter(F.col("field").isin(fnames)).select(
             "doc", "begin", "end"
         )

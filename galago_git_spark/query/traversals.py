@@ -231,6 +231,52 @@ def field_comparison_rewrite(node: Node) -> Node:
     return Node(node.operator, params, [first])
 
 
+def pdfr_traversal(node: Node) -> Node:
+    """ProximityDFRTraversal.java:45-128 — ``#pdfr(t1..tn)`` ->
+    ``#combine:norm=false:0=tw:1=1-tw( #combine(term-model terms)
+    #combine(prox-model windows) )`` with PL2 terms (c) and BiL2
+    proximity scorers (cp) over #od:windowSize bigrams (sequential,
+    default) or #uw pairs (pdfrSeq=false)."""
+    _map_children(node, pdfr_traversal)
+    if node.operator != "pdfr":
+        return node
+    seq = node.get_bool("pdfrSeq", True)
+    tw = node.get_float("termLambda", 1.0)
+    c = node.get_float("c", 6.0)
+    cp = node.get_float("cp", 0.05)
+    term_model = node.get_str("pdfrTerm", "pl2")
+    prox_model = node.get_str("pdfrProx", "bil2")
+    width = node.get_int("windowSize", 5)
+    terms = node.children
+    unigrams = Node(
+        "combine", {},
+        [Node(term_model, {"c": c}, [deepcopy(t)]) for t in terms],
+    )
+    if len(terms) == 1:
+        return Node("combine", {"norm": False, "0": tw}, [unigrams])
+    if seq:
+        windows = [
+            Node("ordered", {"default": width},
+                 [deepcopy(terms[i]), deepcopy(terms[i + 1])])
+            for i in range(len(terms) - 1)
+        ]
+    else:
+        windows = [
+            Node("unordered", {"default": width},
+                 [deepcopy(terms[i]), deepcopy(terms[j])])
+            for i in range(len(terms))
+            for j in range(i + 1, len(terms))
+        ]
+    prox = Node(
+        "combine", {},
+        [Node(prox_model, {"c": cp}, [w]) for w in windows],
+    )
+    return Node(
+        "combine", {"norm": False, "0": tw, "1": 1.0 - tw},
+        [unigrams, prox],
+    )
+
+
 def implicit_feature_cast(node: Node, default_scorer: str = "dirichlet") -> Node:
     """ImplicitFeatureCastTraversal.java:94-134 — count-typed children of
     score-typed operators get wrapped in the default scorer."""
@@ -319,6 +365,7 @@ PIPELINE = [
     transform_root,
     sdm_traversal,
     fulldep_traversal,
+    pdfr_traversal,
     flatten_window,
     field_comparison_rewrite,
     implicit_feature_cast,

@@ -75,3 +75,27 @@ def test_inside_requires_fields(spark):
     idx = inline_index(docs)
     with pytest.raises(ValueError, match="fields=True"):
         compile_count(transform(parse("#inside(a #field:lead())")), idx)
+
+
+def test_inside_field_part_rewrite_identical(spark, tmp_path):
+    """InsideToFieldPartTraversal analog: #inside over a term leaf resolves
+    to the prebuilt fieldpostings part; results identical to the
+    containment join (noOpt=true forces the join path)."""
+    from galago_git_spark.index.build import build_index, open_index
+    from galago_git_spark.query.nodes import Node
+
+    corpus = synthetic_code_corpus(spark, n_docs=60, seed=9)
+    build_index(corpus, str(tmp_path), fields=True)
+    idx = open_index(spark, str(tmp_path))
+    assert idx.field_postings is not None
+    node = transform(parse("#inside(set_block_v20 #field:comment())"))
+    fast = {
+        (r["doc"], r["tf"], tuple(r["positions"]))
+        for r in compile_count(node, idx).collect()
+    }
+    node_join = Node("inside", {"noOpt": True}, node.children)
+    slow = {
+        (r["doc"], r["tf"], tuple(r["positions"]))
+        for r in compile_count(node_join, idx).collect()
+    }
+    assert fast and fast == slow
