@@ -108,6 +108,22 @@ def ngram_jaccard_pairs(
     return out
 
 
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1: (P-1)^2 fits int64 in every engine
+
+
+def minhash_coeffs(n_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i) mod P, derived
+    from md5 so the DuckDB oracle reproduces them."""
+    import hashlib
+
+    out = []
+    for i in range(n_hashes):
+        a = int(hashlib.md5(f"{seed}_a_{i}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"{seed}_b_{i}".encode()).hexdigest()[:15], 16)
+        out.append((a % (MINHASH_PRIME - 1) + 1, b % MINHASH_PRIME))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -115,19 +131,28 @@ def minhash_signatures(
     doc_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc, h, minhash): for hash function h in 0..n_hashes-1, the min
-    over the doc's shingles of md5_long(h || '|' || shingle). Partial
-    (map-side) min-aggregation keeps the shuffle tiny."""
-    sh = shingles(docs, shingle_n, doc_col, text_col)
-    hs = sh.select(
-        "doc",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h"),
+    """(doc, h, minhash): ONE md5 per shingle, then ``n_hashes`` universal
+    hashes ``(a_i * base + b_i) mod P`` — 16x less hashing than md5-per-
+    (hash, shingle), no row explosion: the mins compute as n_hashes
+    aggregate columns in a single groupBy (map-side partial min), then
+    unpivot. At 100 TB the md5 over shingle strings dominated the old
+    plan's cost."""
+    sh = shingles(docs, shingle_n, doc_col, text_col).withColumn(
+        "base", md5_long(F.col("shingle")) % F.lit(MINHASH_PRIME)
     )
-    hashed = hs.withColumn(
-        "hv", md5_long(F.concat_ws("|", F.col("h").cast("string"), F.col("shingle")))
+    coeffs = minhash_coeffs(n_hashes)
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
-    return hashed.groupBy("doc", "h").agg(F.min("hv").alias("minhash"))
+    stack_expr = ", ".join(f"{i}, m{i}" for i in range(n_hashes))
+    return mins.selectExpr(
+        "doc", f"stack({n_hashes}, {stack_expr}) AS (h, minhash)"
+    )
 
 
 def minhash_lsh_pairs(

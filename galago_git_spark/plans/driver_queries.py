@@ -967,6 +967,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
 
 
+_MH_COEFF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_coeffs(8))
+)
+
 SQL_MINHASH_LSH = f"""WITH {TOKS},
 sh AS (
   SELECT DISTINCT doc,
@@ -975,10 +979,11 @@ sh AS (
                                     i -> array_to_string(terms[i : i + 2], ' '))
                 ELSE [] END) AS shingle
   FROM toks),
+based AS (SELECT doc, {MD5_LONG.format("shingle")} % {dedup.MINHASH_PRIME} AS base FROM sh),
 hs AS (
-  SELECT doc, h, min({MD5_LONG.format("concat(h::varchar, '|', shingle)")}) AS minhash
-  FROM sh, range(0, 8) AS r(h)
-  GROUP BY doc, h),
+  SELECT doc, c.h, min((c.a * base + c.b) % {dedup.MINHASH_PRIME}) AS minhash
+  FROM based CROSS JOIN (VALUES {_MH_COEFF_VALUES}) AS c(h, a, b)
+  GROUP BY doc, c.h),
 banded AS (
   SELECT doc, (h // 2)::int AS band,
          md5(concat((h // 2)::int::varchar, ':',
