@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from galago_git_spark.operators.hashing import md5_long
@@ -200,4 +200,90 @@ def lsh_cosine_topk(
         id_col,
         "left_semi",
     )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def _int_dot(q_col: Column, c_col: Column) -> Column:
+    """Exact int64 dot product of two 1e3-quantized vectors."""
+    return F.aggregate(
+        F.zip_with(q_col, c_col, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _quantize(col: Column) -> Column:
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): IVF coarse quantizer — centroids are the embeddings of
+    the ``n_cells`` lowest ids (deterministic, engine-reproducible; a
+    k-means refinement slots in without changing the plan shape), and
+    assignment maximizes the EXACT integer dot product on 1e3-quantized
+    vectors with lowest-centroid-id tie-break, so every engine and
+    cluster size produces identical cells.
+
+    Scale shape: the centroid set is tiny and broadcast; assignment is one
+    narrow projection over the corpus — no shuffle. Queries then touch
+    only ``n_probe`` cells (:func:`ivf_cosine_topk`)."""
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cent_id"), _quantize(F.col(vec_col)).alias("cvec")
+        )
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qvec")
+    )
+    scored = e.join(F.broadcast(cents)).withColumn(
+        "dot", _int_dot(F.col("qvec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("dot").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: exact cosine top-k restricted to the ``n_probe`` cells
+    whose centroids best match the query (by the same exact integer dot).
+    Approximate by design (cross-cell neighbors missed); raise n_probe
+    for recall. The probed fraction is n_probe/n_cells of the corpus."""
+    assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cent_id"), _quantize(F.col(vec_col)).alias("cvec")
+        )
+    )
+    qq = [int(round(float(x) * 1000)) for x in query_vec]
+    qarr = F.array(*[F.lit(v).cast("long") for v in qq])
+    probed = (
+        cents.withColumn("dot", _int_dot(qarr, F.col("cvec")))
+        .orderBy(F.col("dot").desc(), F.col("cent_id").asc())
+        .limit(n_probe)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    cand_ids = assign.join(F.broadcast(probed), "cell", "left_semi").select(
+        F.col("id").alias(id_col)
+    )
+    cand = embeddings.join(cand_ids, id_col, "left_semi")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

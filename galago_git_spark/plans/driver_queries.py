@@ -1125,6 +1125,75 @@ SELECT id, cosine, rank FROM (
 WHERE rank <= 10"""
 
 
+IVF_CELLS, IVF_PROBE = 16, 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path (operators/simsearch.ivf_cosine_topk):
+    deterministic coarse quantizer (centroids = lowest-id embeddings,
+    exact int-quantized dot assignment), exact cosine inside the n_probe
+    best cells only — probes n_probe/n_cells of the corpus."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    out = simsearch.ivf_cosine_topk(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID),
+        [float(x) for x in qvec],
+        k=10, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+    )
+    r = out.withColumn("cosine", F.round("cosine", 6))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return r.withColumn("rank", F.row_number().over(w)).select("id", "cosine", "rank")
+
+
+SQL_ANN_IVF = f"""WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id != {QUERY_VEC_ID}),
+cents AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> round(x::double * 1000)::bigint) AS cvec
+  FROM base ORDER BY vec_id LIMIT {IVF_CELLS}),
+qv AS (SELECT list_transform(embedding, x -> round(x::double * 1000)::bigint) AS q
+       FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+ev AS (SELECT vec_id,
+              list_transform(embedding, x -> round(x::double * 1000)::bigint) AS qvec,
+              embedding
+       FROM base),
+assigns AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_sum(list_transform(range(1, len(qvec) + 1),
+                     i -> qvec[i] * c.cvec[i])) DESC, cent_id ASC) AS rn
+  FROM ev CROSS JOIN cents c),
+cells AS (SELECT vec_id, cent_id AS cell FROM assigns WHERE rn = 1),
+probed AS (
+  SELECT cent_id AS cell FROM cents CROSS JOIN qv
+  ORDER BY list_sum(list_transform(range(1, len(qv.q) + 1),
+           i -> qv.q[i] * cvec[i])) DESC, cent_id ASC
+  LIMIT {IVF_PROBE}),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM ev e
+  JOIN cells ON cells.vec_id = e.vec_id
+  JOIN probed ON probed.cell = cells.cell),
+cf AS (SELECT vec_id,
+              unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x::double}})) AS u
+       FROM cand),
+cff AS (SELECT vec_id, u.i AS i, u.x AS x FROM cf),
+qf AS (SELECT u.i AS i, u.x AS qx
+       FROM (SELECT unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x::double}})) AS u
+             FROM embeddings WHERE vec_id = {QUERY_VEC_ID})),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM qf),
+dots AS (
+  SELECT vec_id, sum(x * qx) AS dot, sum(x * x) AS n2
+  FROM cff JOIN qf USING (i)
+  GROUP BY vec_id)
+SELECT id, cosine, rank FROM (
+  SELECT vec_id AS id,
+         round(dot / (sqrt(n2) * qn.qn), 6) AS cosine,
+         row_number() OVER (ORDER BY round(dot / (sqrt(n2) * qn.qn), 6) DESC, vec_id ASC) AS rank
+  FROM dots CROSS JOIN qn)
+WHERE rank <= 10"""
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_hyperplane_buckets(
         _emb(spark, sf_dir), n_planes=8, dim=64
@@ -1336,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": q_media_features,
         "mm_frame_sample": q_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_buckets": q_lsh_buckets,
         "dedup_embedding_cosine": q_embedding_cosine_pairs,
     }
@@ -1389,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_media_features": SQL_MEDIA_FEATURES,
         "mm_frame_sample": SQL_FRAME_SAMPLE,
         "ann_cosine_topk": SQL_ANN_COSINE,
+        "ann_ivf_topk": SQL_ANN_IVF,
         "ann_lsh_buckets": SQL_LSH_BUCKETS,
         "dedup_embedding_cosine": SQL_EMB_PAIRS,
     }
