@@ -130,22 +130,30 @@ class IncrementalIndexer:
             self._save()
             merged_any = True
 
-    def compact(self) -> str:
+    def compact(self, packed: bool = False) -> str:
         """Merge ALL shards into one (full renumbering — equivalent to a
-        batch build over the whole corpus)."""
+        batch build over the whole corpus). With ``packed=True`` the
+        compacted shard also gets the vbyte block layer, so a
+        streaming-built index serves the WAND tier (query/wand.py) exactly
+        like a batch build."""
         if len(self.manifest["shards"]) == 1:
-            return self.manifest["shards"][0]["dir"]
-        sid = self.manifest["next_id"]
-        out = os.path.join(self.root, "shards", f"shard_{sid}")
-        merge_indexes(
-            self.spark, [s["dir"] for s in self.manifest["shards"]], out
-        )
-        n = sum(s["n_docs"] for s in self.manifest["shards"])
-        for s in self.manifest["shards"]:
-            shutil.rmtree(s["dir"], ignore_errors=True)
-        self.manifest["shards"] = [{"dir": out, "n_docs": n, "doc_base": 0}]
-        self.manifest["next_id"] = sid + 1
-        self._save()
+            out = self.manifest["shards"][0]["dir"]
+        else:
+            sid = self.manifest["next_id"]
+            out = os.path.join(self.root, "shards", f"shard_{sid}")
+            merge_indexes(
+                self.spark, [s["dir"] for s in self.manifest["shards"]], out
+            )
+            n = sum(s["n_docs"] for s in self.manifest["shards"])
+            for s in self.manifest["shards"]:
+                shutil.rmtree(s["dir"], ignore_errors=True)
+            self.manifest["shards"] = [{"dir": out, "n_docs": n, "doc_base": 0}]
+            self.manifest["next_id"] = sid + 1
+            self._save()
+        if packed:
+            from galago_git_spark.index.packed import build_packed
+
+            build_packed(self.spark, out, resume=True)
         return out
 
     # --- query view -------------------------------------------------------

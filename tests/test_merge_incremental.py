@@ -140,3 +140,34 @@ def test_structured_streaming_ingest(spark, corpus, tmp_path):
     build_index(corpus, str(tmp_path / "full2"), positions=False)
     want = sorted(_scores_by_name(spark, str(tmp_path / "full2")))
     assert got == want
+
+
+def test_compact_packed_serves_wand(spark, tmp_path):
+    """A streaming-built index compacted with packed=True serves the WAND
+    tier rank-identically to the exhaustive path (GeometricIndex merge ->
+    DiskIndex parity at the packed layer)."""
+    from pyspark.sql import functions as F
+
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.executor import execute
+    from galago_git_spark.query.wand import wand_topk
+    from galago_git_spark.sources.corpus import synthetic_code_corpus
+    from galago_git_spark.streaming.incremental import IncrementalIndexer
+
+    root = str(tmp_path / "inc")
+    idxr = IncrementalIndexer(spark, root, radix=3)
+    corpus = synthetic_code_corpus(spark, n_docs=120, seed=13).persist()
+    batches = [
+        corpus.filter(F.crc32(F.col("path")) % 3 == i) for i in range(3)
+    ]
+    for b in batches:
+        idxr.add_batch(b)
+    shard = idxr.compact(packed=True)
+    idx = open_index(spark, shard)
+    brute = execute(
+        "#combine(#bm25(def) #bm25(get_load0))", idx, k=10,
+        default_scorer="bm25",
+    ).collect()
+    wand = wand_topk(spark, shard, ["def", "get_load0"], k=10).collect()
+    assert [r["doc"] for r in wand] == [r["doc"] for r in brute]
+    corpus.unpersist()
