@@ -135,6 +135,8 @@ def _run_one(spark, index, index_dir: str, text: str, k: int, scorer: str,
 def cmd_search(args: argparse.Namespace) -> dict:
     spark = _get_spark(args.cores, "galago-search")
     spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
     from galago_git_spark.index.build import open_index
 
     idx = open_index(spark, args.index)
@@ -142,14 +144,47 @@ def cmd_search(args: argparse.Namespace) -> dict:
                     args.wand)
     for r in rows:
         print(f"{r['doc']}\t{r['rank']}\t{r['score']:.6f}", file=sys.stderr)
+    snippets = None
+    if args.corpus and rows:
+        # result-page snippets (the SearchWebHandler/SnippetGenerator
+        # user surface, core/.../index/corpus/SnippetGenerator.java):
+        # pruned corpus read for just the hit docs
+        from galago_git_spark.operators.snippets import snippets_frame
+        from galago_git_spark.query.nodes import Node, is_term_leaf
+        from galago_git_spark.query.parser import parse
+        from galago_git_spark.query.traversals import transform
+
+        def leaf_terms(n: Node) -> list[str]:
+            if is_term_leaf(n):
+                return [str(n.default_param)]
+            return [t for c in n.children for t in leaf_terms(c)]
+
+        terms = sorted(set(leaf_terms(transform(parse(args.query)))))
+        hit_docs = [r["doc"] for r in rows]
+        names = idx.names.filter(F.col("doc").isin(hit_docs)).select(
+            "doc", "repo", "path", "commit"
+        )
+        corpus = spark.read.parquet(args.corpus)
+        texts = (
+            names.join(corpus, ["repo", "path", "commit"])
+            .select("doc", F.col("content").alias("text"))
+        )
+        snippets = {
+            r["doc"]: r["snippet"]
+            for r in snippets_frame(texts, terms, doc_col="doc").collect()
+        }
     spark.stop()
-    return {
+    out = {
         "cmd": "search",
         "query": args.query,
         "k": args.k,
         "results": [{"doc": r["doc"], "rank": r["rank"], "score": r["score"]}
                     for r in rows],
     }
+    if snippets is not None:
+        for r in out["results"]:
+            r["snippet"] = snippets.get(r["doc"])
+    return out
 
 
 def cmd_batch_search(args: argparse.Namespace) -> dict:
@@ -450,6 +485,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--cores", type=int, default=8)
     s.add_argument("--scorer", default="dirichlet")
     s.add_argument("--wand", action="store_true")
+    s.add_argument("--corpus", default=None,
+                   help="corpus parquet dir: emit highlighted snippets per hit")
     s.set_defaults(fn=cmd_search)
 
     bs = sub.add_parser("batch-search")
