@@ -143,3 +143,27 @@ def test_lineage_and_prior_part(spark, corpus, tmp_path):
     assert sd.keys() == bd.keys()
     for d in sd:
         assert sd[d] == pytest.approx(0.5 * bd[d] + 0.5 * lens[d] / 1000.0, abs=1e-9)
+
+
+def test_resume_fused_packed(spark, corpus, tmp_path):
+    """Fused build (packed=True) resume: the blocks part is skipped when
+    manifest-committed, rebuilt when missing (CheckpointedStageExecutor
+    pattern over the concurrent wave scheduler)."""
+    import shutil
+
+    index_dir = str(tmp_path / "idx_fused")
+    m = build_index(corpus, index_dir, packed=True)
+    assert "blocks" in m["parts"]
+    t_blocks = os.path.getmtime(os.path.join(index_dir, "blocks", "_SUCCESS"))
+    t_post = os.path.getmtime(os.path.join(index_dir, "postings", "_SUCCESS"))
+    build_index(corpus, index_dir, packed=True, resume=True)
+    assert os.path.getmtime(os.path.join(index_dir, "blocks", "_SUCCESS")) == t_blocks
+    assert os.path.getmtime(os.path.join(index_dir, "postings", "_SUCCESS")) == t_post
+    # drop blocks: resume rebuilds ONLY blocks
+    shutil.rmtree(os.path.join(index_dir, "blocks"))
+    build_index(corpus, index_dir, packed=True, resume=True)
+    assert os.path.exists(os.path.join(index_dir, "blocks", "_SUCCESS"))
+    assert os.path.getmtime(os.path.join(index_dir, "postings", "_SUCCESS")) == t_post
+    from galago_git_spark.query.wand import wand_topk
+
+    assert wand_topk(spark, index_dir, ["def"], k=5).count() == 5
