@@ -197,3 +197,33 @@ def unordered2_counts(rows0, rows1, width: int) -> np.ndarray:
     return np.bincount(rowA[va], minlength=n_rows) + np.bincount(
         rowB[vb], minlength=n_rows
     )
+
+
+def orderedN_begins_batch(rows_list, width: int) -> list[list[int]]:
+    """Vectorized n-child #od over unit extents — the 2-child searchsorted
+    kernel generalized to a CHAIN of searchsorteds (one per adjacent child
+    pair). The greedy loop's shared pointers are value-determined for
+    monotone unit-extent ends, so child c's pointer for occurrence ``a``
+    is ``searchsorted(C_c, prev_end)``; a lane dies when any link
+    exhausts its row (the loop's early return — later lanes exhaust too,
+    monotone) or violates the gap test. Result-identical to
+    :func:`ordered_window_extents` begins (hypothesis-tested)."""
+    n_rows = len(rows_list[0])
+    A0, row0, _ = _flatten_rows(rows_list[0])
+    if len(A0) == 0:
+        return [[] for _ in range(n_rows)]
+    flat = [_flatten_rows(r) for r in rows_list[1:]]
+    if any(len(v) == 0 for v, _, _ in flat):
+        return [[] for _ in range(n_rows)]
+    K = int(max([A0.max()] + [v.max() for v, _, _ in flat])) + 2
+    valid = np.ones(len(A0), dtype=bool)
+    prev_end = A0 + 1
+    for C, rowC, startsC in flat:
+        j = np.searchsorted(C + rowC * K, prev_end + row0 * K, side="left")
+        ok = j < startsC[row0 + 1]
+        jj = np.minimum(j, len(C) - 1)
+        if width != -1:
+            ok &= (C[jj] - prev_end) < width
+        valid &= ok
+        prev_end = C[jj] + 1
+    return _split_begins(A0[valid], row0[valid], n_rows)

@@ -298,24 +298,32 @@ def _window_frame(node: Node, index: Index, op: str, width: int) -> DataFrame:
     terms = [
         str(c.default_param) for c in node.children if is_term_leaf(c)
     ]
-    fast2 = (
-        n == 2
-        and len(terms) == 2
-        and (op == "ordered" or terms[0] != terms[1])
+    all_leaves = len(terms) == n
+    fast_ord = op == "ordered" and all_leaves and n >= 2
+    fast_uw2 = (
+        op == "unordered" and n == 2 and all_leaves and terms[0] != terms[1]
     )
-    if fast2:
+    if fast_ord or fast_uw2:
         from galago_git_spark.functions.windows import (
-            ordered2_begins_batch,
+            orderedN_begins_batch,
             unordered2_begins_batch,
         )
 
-        kernel = (
-            ordered2_begins_batch if op == "ordered" else unordered2_begins_batch
-        )
+        if fast_ord:
 
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def window_begins(c0: pd.Series, c1: pd.Series) -> pd.Series:
-            return pd.Series(kernel(c0.tolist(), c1.tolist(), width))
+            @F.pandas_udf(T.ArrayType(T.IntegerType()))
+            def window_begins(*cols: pd.Series) -> pd.Series:
+                return pd.Series(
+                    orderedN_begins_batch([c.tolist() for c in cols], width)
+                )
+
+        else:
+
+            @F.pandas_udf(T.ArrayType(T.IntegerType()))
+            def window_begins(c0: pd.Series, c1: pd.Series) -> pd.Series:
+                return pd.Series(
+                    unordered2_begins_batch(c0.tolist(), c1.tolist(), width)
+                )
 
     else:
         match_fn = (

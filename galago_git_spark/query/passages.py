@@ -168,7 +168,6 @@ def passage_count_frame(node, index: Index, passages: DataFrame) -> DataFrame:
     matching then runs inside each passage with the same kernels as the
     whole-document path."""
     from galago_git_spark.functions.windows import (
-        ordered2_begins_batch,
         ordered_window_extents,
         positions_to_extents,
         unordered2_begins_batch,
@@ -215,17 +214,28 @@ def passage_count_frame(node, index: Index, passages: DataFrame) -> DataFrame:
             )
         n = len(frames)
         terms = [str(c.default_param) for c in node.children if is_term_leaf(c)]
-        fast2 = n == 2 and len(terms) == 2 and (
-            op == "ordered" or terms[0] != terms[1]
+        all_leaves = len(terms) == n
+        fast_ord = op == "ordered" and all_leaves and n >= 2
+        fast_uw2 = (
+            op == "unordered" and n == 2 and all_leaves and terms[0] != terms[1]
         )
-        if fast2:
-            kernel = (
-                ordered2_begins_batch if op == "ordered" else unordered2_begins_batch
-            )
+        if fast_ord:
+            from galago_git_spark.functions.windows import orderedN_begins_batch
+
+            @F.pandas_udf(T.ArrayType(T.IntegerType()))
+            def begins(*cols_: pd.Series) -> pd.Series:
+                return pd.Series(
+                    orderedN_begins_batch([c.tolist() for c in cols_], width)
+                )
+
+            cols = [F.col(f"pos_{i}") for i in range(n)]
+        elif fast_uw2:
 
             @F.pandas_udf(T.ArrayType(T.IntegerType()))
             def begins(c0: pd.Series, c1: pd.Series) -> pd.Series:
-                return pd.Series(kernel(c0.tolist(), c1.tolist(), width))
+                return pd.Series(
+                    unordered2_begins_batch(c0.tolist(), c1.tolist(), width)
+                )
 
             cols = [F.col("pos_0"), F.col("pos_1")]
         else:

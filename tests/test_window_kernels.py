@@ -64,3 +64,28 @@ def test_unordered2_matches_merge_loop(batch, width):
 def test_empty_rows():
     assert ordered2_begins_batch([[]], [[1]], 1) == [[]]
     assert unordered2_begins_batch([[1]], [[]], 4) == [[]]
+
+
+children3 = st.lists(
+    st.tuples(positions, positions, positions), min_size=1, max_size=6
+)
+
+
+@given(children3, widths)
+@settings(max_examples=150, deadline=None)
+def test_orderedN_matches_greedy_loop(batch, width):
+    from galago_git_spark.functions.windows import orderedN_begins_batch
+
+    got = orderedN_begins_batch(
+        [[r[c] for r in batch] for c in range(3)], width
+    )
+    want = [
+        [
+            b
+            for b, _ in ordered_window_extents(
+                [positions_to_extents(r[c]) for c in range(3)], width
+            )
+        ]
+        for r in batch
+    ]
+    assert got == want
