@@ -96,9 +96,12 @@ def encode_positions_block(pos_concat: np.ndarray, counts: np.ndarray) -> bytes:
     gaps = np.empty_like(p)
     gaps[0] = p[0]
     np.subtract(p[1:], p[:-1], out=gaps[1:])
-    starts = np.concatenate(
-        ([0], np.cumsum(np.asarray(counts, dtype=np.int64))[:-1])
-    )
+    cnts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    # a zero-count doc contributes no positions: its start aliases the next
+    # doc's (harmless) or points past the buffer (trailing zero) — mask it
+    # out so the encoder tolerates the same inputs the decoder does
+    starts = starts[cnts > 0]
     gaps[starts] = p[starts]  # each doc's first position stays absolute
     return vbyte_encode(gaps)
 

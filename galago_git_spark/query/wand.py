@@ -282,7 +282,13 @@ def wand_topk(
         and abs(avgdl - params["avgdl"]) < 1e-9
     )
 
-    blocks = reader.blocks.filter(F.col("term").isin(list(term_info)))
+    # project position payloads (and the unused n) OUT of the scan: BM25
+    # never reads them, and parquet column pruning then skips those bytes
+    # entirely — at 100 TB the `pos` column dwarfs docs+tfs
+    blocks = reader.blocks.select(
+        "term", "bucket", "first_doc", "last_doc", "max_tf", "max_tfn",
+        "docs", "tfs",
+    ).filter(F.col("term").isin(list(term_info)))
     # prune the lengths side to buckets that actually hold candidate blocks
     buckets = blocks.select("bucket").distinct()
     lengths = reader.lengths_bucketed.join(F.broadcast(buckets), "bucket", "left_semi")
@@ -371,13 +377,30 @@ def _sdm_bucket_kernel(terms: list[str], plan, bgs: list[float], mu: float,
                 seg_maxtf[t, lo:hi + 1], bmax[bi]
             )
 
-        # segment upper bounds: sum_s w*ln(ub_tf + mu*bg) - W*ln(min_len+mu)
+        # segment upper bounds: sum_s w*ln(ub_tf + mu*bg) - W*ln(min_len+mu).
+        # Window-tf bounds must dominate the exact count kernels
+        # (functions/windows.py): #uw's merge emits one window per consumed
+        # extent, so count <= tf_i + tf_j (UnorderedWindowIterator.java:28-82
+        # — e.g. A=[1,3], B=[2], width 8 gives 2 windows > min=1); #od emits
+        # at most one window per FIRST-child occurrence, and a later-child
+        # occurrence can serve many firsts when width > 1
+        # (OrderedWindowIterator.java:25-85), so count <= tf_i. Only at
+        # width == 1 (contiguous bigram) does each match consume a distinct
+        # occurrence of both children, making min(tf_i, tf_j) sound.
         seg_ub = np.full(n_seg, -W * math.log(min_len + mu), dtype=np.float64)
         for (w, kind, i, j), bg in zip(plan, bgs):
             if kind == "uni":
                 ub_tf = seg_maxtf[i]
-            else:
+            elif kind == "od" and od_width == 1:
                 ub_tf = np.minimum(seg_maxtf[i], seg_maxtf[j])
+            else:
+                both = np.minimum(seg_maxtf[i], seg_maxtf[j]) > 0
+                if kind == "od":
+                    ub_tf = np.where(both, seg_maxtf[i], 0.0)
+                else:
+                    ub_tf = np.where(
+                        both, seg_maxtf[i] + seg_maxtf[j], 0.0
+                    )
             seg_ub += w * np.log(ub_tf + mu * bg)
 
         seg_order = np.argsort(-seg_ub, kind="stable")
