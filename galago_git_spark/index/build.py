@@ -148,6 +148,7 @@ def build_index(
     packed: bool = False,
     block_size: int | None = None,
     bucket_bits: int | None = None,
+    id_col: str | None = None,
 ) -> dict:
     """Build all relational index parts under ``index_dir``.
 
@@ -199,7 +200,13 @@ def build_index(
     # 10^12 docs a corpus-sized cache is impossible anyway. `names` never
     # tokenizes; `lengths` derives from postings (length == sum of tfs —
     # every token is in exactly one posting).
-    numbered = assign_doc_ids(docs)
+    if id_col is not None:
+        # identifier passthrough: the corpus already carries stable long
+        # doc ids (e.g. the driver's ``documents.doc_id``) — skip the
+        # distributed numbering rank; caller guarantees uniqueness
+        numbered = docs.withColumn("doc", F.col(id_col).cast("long"))
+    else:
+        numbered = assign_doc_ids(docs)
 
     names_path = os.path.join(index_dir, "names")
     postings_path = os.path.join(index_dir, "postings")

@@ -362,6 +362,63 @@ scored AS (
   JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cf)"""
 
 
+# ---------------------------------------------------------------------------
+# B'. packed-tier retrieval — the block-max WAND kernels graded against the
+# SAME DuckDB oracles as the relational entries, so the pruned fast path is
+# oracle-checked directly (not only pytest rank-identity fixtures).
+# ---------------------------------------------------------------------------
+
+_PACKED_DIRS: dict[str, str] = {}
+
+
+def _packed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) an on-disk packed index over the
+    ``documents`` table with identifier passthrough (doc == doc_id, so the
+    oracle SQL keys line up), using small blocks/buckets so segment pruning
+    actually engages at oracle scale."""
+    if sf_dir not in _PACKED_DIRS:
+        import os
+        import tempfile
+
+        from galago_git_spark.index.build import build_index
+
+        corpus = _docs(spark, sf_dir).select(
+            F.col("doc_id"),
+            F.lit("corpus").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("").alias("commit"),
+            F.coalesce(F.col("lang"), F.lit("md")).alias("lang"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        )
+        d = os.path.join(tempfile.mkdtemp(prefix="gg_packed_"), "idx")
+        build_index(corpus, d, positions=True, packed=True,
+                    block_size=64, bucket_bits=7, id_col="doc_id")
+        _PACKED_DIRS[sf_dir] = d
+    return _PACKED_DIRS[sf_dir]
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 #combine via the block-max WAND kernel (query/wand.py) —
+    overfetches raw candidates, then re-ranks on rounded scores so ties
+    resolve exactly like the relational/oracle convention."""
+    from galago_git_spark.query.wand import wand_topk
+
+    terms = [t for t, _ in BM25_TERMS]
+    raw = wand_topk(spark, _packed_dir(spark, sf_dir), terms, k=40)
+    return _ranked(raw.select("doc", "score"))
+
+
+def q_sdm_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#sdm(fast table) via the positional packed tier (wand_sdm_topk):
+    window tfs decoded from position payloads, Dirichlet scoring, segment
+    pruning with the sound uw/od bounds."""
+    from galago_git_spark.query.wand import wand_sdm_topk
+
+    return wand_sdm_topk(
+        spark, _packed_dir(spark, sf_dir), ["fast", "table"], k=10
+    ).select("doc", "score", "rank")
+
+
 def q_pdfr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#pdfr(t1 t2) — ProximityDFRTraversal.java:45-128: PL2(c=6) unigrams
     mixed termLambda/(1-termLambda) with BiL2(c=0.05) over #od:5 bigrams."""
@@ -1370,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_ordered_window": q_ordered_window,
         "fti_unordered_window": q_unordered_window,
         "fti_sdm_topk": q_sdm,
+        "fti_bm25_wand_topk": q_bm25_wand_topk,
+        "fti_sdm_wand_topk": q_sdm_wand_topk,
         "fti_pdfr_topk": q_pdfr,
         "fti_wsdm_topk": q_wsdm,
         "fti_wsum_topk": q_wsum,
@@ -1427,6 +1486,10 @@ def oracle_sql() -> dict[str, str]:
         "fti_ordered_window": SQL_ORDERED_WINDOW,
         "fti_unordered_window": SQL_UNORDERED_WINDOW,
         "fti_sdm_topk": _rank_sql(_sql_sdm("fast", "table")),
+        # packed WAND tier: same oracles as the relational entries — the
+        # pruned kernels must be value-identical, not just rank-similar
+        "fti_bm25_wand_topk": _rank_sql(_sql_bm25(BM25_TERMS)),
+        "fti_sdm_wand_topk": _rank_sql(_sql_sdm("fast", "table")),
         "fti_wsdm_topk": _rank_sql(
             _sql_sdm("fast", "table", w_uni=0.8, w_od=0.1, w_uw=0.1)
         ),

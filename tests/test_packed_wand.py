@@ -218,6 +218,30 @@ def test_sdm_wand_rank_identical_to_exhaustive(spark, packed_pos_index, terms):
     assert [r["score"] for r in wand] == [r["score"] for r in brute]
 
 
+def test_wand_bm25_plan_prunes_position_payloads(spark, packed_pos_index):
+    """The BM25-only WAND path never touches position payloads — the block
+    scan's ReadSchema must NOT include ``pos`` (parquet column pruning then
+    skips those bytes; at scale the pos column dwarfs docs+tfs), while the
+    #sdm path must include it."""
+    import contextlib
+    import io
+
+    from galago_git_spark.query.wand import wand_sdm_topk
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    bm25_plan = plan_of(wand_topk(spark, packed_pos_index, ["def"], k=5))
+    assert "pos:binary" not in bm25_plan
+    sdm_plan = plan_of(
+        wand_sdm_topk(spark, packed_pos_index, ["def", "return"], k=5)
+    )
+    assert "pos:binary" in sdm_plan
+
+
 def test_sdm_wand_requires_positions(spark, packed_index):
     from galago_git_spark.query.wand import wand_sdm_topk
 
