@@ -381,9 +381,13 @@ def build_index(
     # driver-side metadata read, not a Spark job.
     def write_stats() -> None:
         t0 = time.time()
-        vocab = sum(
-            r["rows"] for r in manifest["parts"]["termstats"]["lineage"]
-        )
+        lineage = manifest["parts"].get("termstats", {}).get("lineage") or []
+        vocab = sum(r["rows"] for r in lineage)
+        if vocab == 0:
+            # footer read failed or a pre-lineage manifest (resume over an
+            # older build): pay one count job instead of silently
+            # recording vocab_count=0
+            vocab = spark.read.parquet(termstats_path).count()
         (
             spark.read.parquet(lengths_path)
             .agg(

@@ -41,13 +41,26 @@ _DATE_PATTERNS = ("%m/%d/%Y", "%m/%d/%y")
 
 
 def _date_millis_col(col: Column) -> Column:
-    """String/date/timestamp column -> epoch millis (UTC)."""
-    ts = F.coalesce(
-        F.to_timestamp(col.cast("string"), "M/d/yyyy"),
-        F.to_timestamp(col.cast("string"), "M/d/yy"),
-        F.to_timestamp(col.cast("string")),
+    """String/date/timestamp column -> epoch millis, interpreted in UTC
+    like the query side (:func:`parse_field_value`) — NOT in the session
+    timezone, which would shift #greater/#less/#between boundaries by the
+    UTC offset on any cluster not running spark.sql.session.timeZone=UTC.
+    Date-only values go through DateType (``unix_date`` is tz-free); full
+    timestamps fall back to a parse re-based from session tz to UTC."""
+    s = col.cast("string")
+    date_ms = F.unix_date(
+        F.coalesce(
+            F.to_date(s, "M/d/yyyy"), F.to_date(s, "M/d/yy"), F.to_date(s)
+        )
+    ).cast("long") * F.lit(86400000).cast("long")
+    ts_ms = F.unix_millis(
+        F.from_utc_timestamp(F.to_timestamp(s), F.current_timezone())
     )
-    return F.unix_millis(ts)
+    # to_date(s) also accepts timestamp strings (truncating): prefer the
+    # timestamp parse whenever the string carries a time component
+    return F.when(s.rlike("[0-9]:[0-9]"), F.coalesce(ts_ms, date_ms)).otherwise(
+        F.coalesce(date_ms, ts_ms)
+    )
 
 
 def build_field_part(

@@ -292,25 +292,37 @@ def passage_score_frame(
         node = Node("combine", {"0": 1.0, "norm": False}, [node])
     if node.operator != "combine":
         raise ValueError("passage_score_frame expects a #combine tree")
-    scorers = [
-        c if _is_scorer(c) else Node(default_scorer, {}, [c])
-        for c in node.children
-    ]
     # flatten nested #combine children into their scorer leaves
     flat: list[tuple[float, object]] = []
     weights = normalize_weights(
         node.indexed_weights(), node.get_bool("norm", True)
     )
 
+    # operators with score-plane semantics the linear passage sum cannot
+    # express (non-linear, or needing document-plane state)
+    _UNSUPPORTED = ("log", "wsum", "boost", "prior", "threshold",
+                    "logprobnot", "bm25fcomb", "bool")
+
     def _expand(w, c):
         if c.operator == "combine":
             ws = normalize_weights(c.indexed_weights(), c.get_bool("norm", True))
             for wi, ci in zip(ws, c.children):
-                _expand(w * wi, ci if _is_scorer(ci) else Node(default_scorer, {}, [ci]))
-        else:
+                _expand(w * wi, ci)
+        elif c.operator == "scale":
+            # #scale:f(S) is a linear factor on the subtree score — fold it
+            # into the passage weight (ScaleIterator analog)
+            _expand(w * c.get_float("default", 1.0), c.children[0])
+        elif _is_scorer(c):
             flat.append((w, c))
+        elif c.operator in _UNSUPPORTED:
+            raise ValueError(
+                f"#{c.operator} is not supported inside passage retrieval "
+                "(only linear #combine/#scale trees of scorers)"
+            )
+        else:
+            flat.append((w, Node(default_scorer, {}, [c])))
 
-    for w, c in zip(weights, scorers):
+    for w, c in zip(weights, node.children):
         _expand(w, c)
     prefetch_node_stats([c for _, c in flat], index)
     from galago_git_spark.query.executor import compile_count

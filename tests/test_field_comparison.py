@@ -116,3 +116,30 @@ def test_on_disk_fields_part_roundtrip(spark, tmp_path):
     names = idx.names.filter(F.col("lang") == some)
     want = {r["doc"] for r in names.select("doc").collect()}
     assert got == want and got
+
+
+def test_date_field_build_is_session_tz_invariant(spark):
+    """Build-side date encoding must be epoch-of-UTC like the query side
+    (parse_field_value) regardless of spark.sql.session.timeZone — a
+    non-UTC cluster must not shift #between boundaries."""
+    from galago_git_spark.index.fieldindex import build_field_part
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        docs = spark.createDataFrame(
+            [(0, "6/16/1980"), (1, "1/2/2020"), (2, "2020-01-02 03:00:00")],
+            "doc_id long, pub string",
+        )
+        part = build_field_part(docs, {"pub": "date"})
+        got = {r["doc"]: r["nval"] for r in part.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert got[0] == parse_field_value("date", "6/16/1980")
+    assert got[1] == parse_field_value("date", "1/2/2020")
+    want_ts = int(
+        datetime.datetime(
+            2020, 1, 2, 3, tzinfo=datetime.timezone.utc
+        ).timestamp() * 1000
+    )
+    assert got[2] == want_ts

@@ -92,3 +92,31 @@ def test_sdm_over_passages_runs(pidx):
     assert all(r["end"] - r["begin"] <= SIZE for r in out)
     # ranks are 1..n with the ScoredPassage tie-break
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_passage_scale_folds_into_weight(pidx):
+    """#scale is a linear factor on a subtree score — scaling BOTH children
+    by the same factor must not change the passage ranking, and a scaled
+    single scorer must score exactly factor * unscaled."""
+    _, idx = pidx
+    base = passage_topk(
+        "#combine(#bm25(data) #bm25(table))", idx, k=10, size=SIZE, shift=SHIFT
+    ).collect()
+    scaled = passage_topk(
+        "#combine:norm=false(#scale:0.5(#bm25(data)) #scale:0.5(#bm25(table)))",
+        idx, k=10, size=SIZE, shift=SHIFT,
+    ).collect()
+    assert [(r["doc"], r["begin"]) for r in scaled] == [
+        (r["doc"], r["begin"]) for r in base
+    ]
+    for s, b in zip(scaled, base):
+        assert s["score"] == pytest.approx(b["score"], rel=1e-9)
+
+
+def test_passage_unsupported_score_op_raises(pidx):
+    _, idx = pidx
+    with pytest.raises(ValueError, match="passage retrieval"):
+        passage_topk(
+            "#combine(#log(#bm25(data)) #bm25(table))",
+            idx, k=5, size=SIZE, shift=SHIFT,
+        )
