@@ -486,7 +486,8 @@ class Index:
     termstats: DataFrame
     collection_stats: CollectionStats
     extents: DataFrame | None = None
-    window_parts: dict | None = None  # n -> ordered-shingle postings
+    # n -> ordered-shingle postings; ("uw", width) -> unordered pair part
+    window_parts: dict | None = None
     priors: DataFrame | None = None  # (doc, prior) log-space static scores
     fields_part: DataFrame | None = None  # typed (doc, field, sval, nval, dval)
     field_formats: dict | None = None  # field -> string/int/long/float/double/date

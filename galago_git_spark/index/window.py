@@ -60,25 +60,69 @@ def _shingle_stream(n: int):
     return fn
 
 
-def build_window_postings(
-    numbered_docs: DataFrame,
-    index_dir: str,
-    n: int = 2,
-    frequency_threshold: int = 0,
-    num_partitions: int | None = None,
-) -> str:
-    """numbered_docs: (doc, content, ...). Writes the window part and
-    registers it in manifest.json; returns the part directory."""
-    spark = numbered_docs.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    t0 = time.time()
-    part = f"window.od1.{n}"
-    part_dir = os.path.join(index_dir, part)
+def _uw_pair_stream(width: int):
+    """mapInPandas kernel: per doc, exact ``#uw:width`` PAIR counts under
+    UnorderedWindowIterator semantics (``UnorderedWindowIterator.java:
+    28-82``): the occurrence at position p pairs with the FIRST occurrence
+    of each other term q in ``(p, p+width-1]``; summed over both directions
+    this equals the query kernel's count
+    (``functions/windows.unordered2_counts``) — which is what makes the
+    ``#uw:w`` part rewrite result-identical.
 
-    grams = numbered_docs.select("doc", "content").mapInPandas(
-        _shingle_stream(n), schema="doc long, term string, tf long"
-    )
+    NOTE: this deliberately diverges from the reference's
+    ``WindowProducer.extractUnorderedWindows`` (``WindowProducer.java:
+    117-137``), which emits EVERY n-subset inside the span and therefore
+    over-counts relative to the query-time iterator. We keep its key shape
+    (lexically sorted terms, '~'-joined) but count with iterator semantics
+    so the rewrite never changes query results. O(len * width) per doc,
+    embarrassingly parallel over docs — the same build-side cost class as
+    shingling."""
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tok_lists = _tokenize_series(pdf["content"]).to_list()
+            docs = pdf["doc"].to_numpy()
+            rows_doc, rows_term, rows_tf = [], [], []
+            for d, toks in zip(docs, tok_lists):
+                length = len(toks)
+                if length < 2:
+                    continue
+                cnt: dict[str, int] = {}
+                for i in range(length - 1):
+                    t = toks[i]
+                    seen = {t}
+                    for j in range(i + 1, min(i + width, length)):
+                        q = toks[j]
+                        if q in seen:
+                            continue
+                        seen.add(q)
+                        key = t + SEP + q if t < q else q + SEP + t
+                        cnt[key] = cnt.get(key, 0) + 1
+                for key, c in cnt.items():
+                    rows_doc.append(d)
+                    rows_term.append(key)
+                    rows_tf.append(c)
+            if rows_doc:
+                yield pd.DataFrame(
+                    {"doc": rows_doc, "term": rows_term, "tf": rows_tf}
+                )
+
+    return fn
+
+
+def _write_window_part(
+    spark: SparkSession,
+    grams: DataFrame,
+    index_dir: str,
+    part: str,
+    meta: dict,
+    frequency_threshold: int,
+    num_partitions: int,
+    t0: float,
+) -> str:
+    part_dir = os.path.join(index_dir, part)
     if frequency_threshold > 1:
         keep = (
             grams.groupBy("term")
@@ -116,26 +160,84 @@ def build_window_postings(
     manifest["parts"][part] = {
         "path": part_dir,
         "seconds": round(time.time() - t0, 3),
-        "n": n,
         "frequency_threshold": frequency_threshold,
+        **meta,
     }
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)
     return part_dir
 
 
-def load_window_parts(spark: SparkSession, index_dir: str) -> dict[int, DataFrame]:
-    """n -> window postings DataFrame for every window part on disk."""
-    out: dict[int, DataFrame] = {}
+def build_window_postings(
+    numbered_docs: DataFrame,
+    index_dir: str,
+    n: int = 2,
+    frequency_threshold: int = 0,
+    num_partitions: int | None = None,
+) -> str:
+    """Contiguous ordered (``#od:1``) n-gram part. numbered_docs:
+    (doc, content, ...). Writes the part and registers it in
+    manifest.json; returns the part directory."""
+    spark = numbered_docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = time.time()
+    grams = numbered_docs.select("doc", "content").mapInPandas(
+        _shingle_stream(n), schema="doc long, term string, tf long"
+    )
+    return _write_window_part(
+        spark, grams, index_dir, f"window.od1.{n}", {"n": n},
+        frequency_threshold, num_partitions, t0,
+    )
+
+
+def build_unordered_window_postings(
+    numbered_docs: DataFrame,
+    index_dir: str,
+    width: int = 8,
+    frequency_threshold: int = 0,
+    num_partitions: int | None = None,
+) -> str:
+    """Unordered pair-window part (``#uw:width`` over two distinct bare
+    terms becomes a direct posting lookup). The analog of ``galago
+    build-window --ordered=false --n=2 --width=w``
+    (``BuildWindowIndex.java:301-305`` part naming ``uw.n2.w{w}``), counted
+    with query-iterator semantics — see :func:`_uw_pair_stream`."""
+    spark = numbered_docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = time.time()
+    grams = numbered_docs.select("doc", "content").mapInPandas(
+        _uw_pair_stream(width), schema="doc long, term string, tf long"
+    )
+    return _write_window_part(
+        spark, grams, index_dir, f"window.uw.n2.w{width}",
+        {"n": 2, "width": width}, frequency_threshold, num_partitions, t0,
+    )
+
+
+def load_window_parts(spark: SparkSession, index_dir: str) -> dict:
+    """Window postings DataFrames for every window part on disk.
+    Keys: ``n`` (int) for contiguous ``window.od1.{n}`` parts,
+    ``("uw", width)`` for unordered pair parts ``window.uw.n2.w{width}``."""
+    out: dict = {}
     if not os.path.isdir(index_dir):
         return out
     for name in os.listdir(index_dir):
+        key = None
         if name.startswith("window.od1."):
             try:
-                n = int(name.rsplit(".", 1)[1])
+                key = int(name.rsplit(".", 1)[1])
             except ValueError:
                 continue
-            p = os.path.join(index_dir, name, "postings")
-            if os.path.exists(p):
-                out[n] = spark.read.parquet(p)
+        elif name.startswith("window.uw.n2.w"):
+            try:
+                key = ("uw", int(name.rsplit("w", 1)[1]))
+            except ValueError:
+                continue
+        if key is None:
+            continue
+        p = os.path.join(index_dir, name, "postings")
+        if os.path.exists(p):
+            out[key] = spark.read.parquet(p)
     return out

@@ -131,7 +131,14 @@ def inline_index(
 # count-plane compilation: Node -> DataFrame(doc, tf, positions)
 # --------------------------------------------------------------------------
 
-def compile_count(node: Node, index: Index) -> DataFrame:
+def compile_count(
+    node: Node, index: Index, need_positions: bool = False
+) -> DataFrame:
+    """``need_positions=True`` marks call sites that consume the result's
+    ``positions`` column (window kernels, #syn merges, #inside containment)
+    — it disables the window-part rewrite, whose count leaves carry null
+    positions (the reference's rewrite likewise only fires in count
+    context, WindowRewriteTraversal.java)."""
     op = node.operator
     if op in ("counts", "extents", "text"):
         term = str(node.default_param)
@@ -146,12 +153,15 @@ def compile_count(node: Node, index: Index) -> DataFrame:
         return index.spark.createDataFrame([], _COUNT_SCHEMA)
     if op in ("ordered", "unordered"):
         width = int(node.get_int("default", 1 if op == "ordered" else -1))
-        rewritten = _window_part_rewrite(node, index, op, width)
-        if rewritten is not None:
-            return rewritten
+        if not need_positions:
+            rewritten = _window_part_rewrite(node, index, op, width)
+            if rewritten is not None:
+                return rewritten
         return _window_frame(node, index, op, width)
     if op == "synonym":
-        frames = [compile_count(c, index) for c in node.children]
+        frames = [
+            compile_count(c, index, need_positions=True) for c in node.children
+        ]
         return (
             reduce(DataFrame.unionByName, frames)
             .groupBy("doc")
@@ -225,7 +235,7 @@ def compile_count(node: Node, index: Index) -> DataFrame:
             ).select("doc", "tf", "positions")
         if index.extents is None:
             raise ValueError("#inside requires an index built with fields=True")
-        x = compile_count(node.children[0], index)
+        x = compile_count(node.children[0], index, need_positions=True)
         fext = index.extents.filter(F.col("field").isin(fnames)).select(
             "doc", "begin", "end"
         )
@@ -258,24 +268,38 @@ def _window_part_rewrite(
 ) -> DataFrame | None:
     """WindowRewriteTraversal analog (``WindowRewriteTraversal.java``): an
     ``#od:1`` over bare terms becomes a direct lookup of the contiguous
-    n-gram part when one was built (``index/window.py``). Result-identical
-    to the positional match loop for width 1 (tested); positions are not
-    materialized (the reference's rewrite likewise yields a count leaf)."""
+    n-gram part, and a 2-term ``#uw:w`` over distinct bare terms a lookup
+    of the matching unordered pair part, when one was built
+    (``index/window.py``). Result-identical to the positional match loops
+    (tested); positions are not materialized (the reference's rewrite
+    likewise yields a count leaf)."""
     from galago_git_spark.query.nodes import is_term_leaf
 
-    if op != "ordered" or width != 1 or not index.window_parts:
-        return None
-    n = len(node.children)
-    if n not in index.window_parts:
+    if not index.window_parts:
         return None
     if not all(is_term_leaf(c) for c in node.children):
         return None
     from galago_git_spark.index.window import SEP
 
-    gram = SEP.join(str(c.default_param) for c in node.children)
+    terms = [str(c.default_param) for c in node.children]
+    n = len(terms)
+    if op == "ordered" and width == 1 and n in index.window_parts:
+        gram = SEP.join(terms)
+        part = index.window_parts[n]
+    elif (
+        op == "unordered"
+        and n == 2
+        and len(set(terms)) == 2
+        and ("uw", width) in index.window_parts
+    ):
+        # unordered pair counts are symmetric in the children, so the part
+        # keys on the lexically sorted pair (WindowProducer.java:120-127)
+        gram = SEP.join(sorted(terms))
+        part = index.window_parts[("uw", width)]
+    else:
+        return None
     return (
-        index.window_parts[n]
-        .filter(F.col("term") == gram)
+        part.filter(F.col("term") == gram)
         .select("doc", "tf", F.lit(None).cast("array<int>").alias("positions"))
     )
 
@@ -288,7 +312,9 @@ def _window_frame(node: Node, index: Index, op: str, width: int) -> DataFrame:
     result-identical to the per-doc greedy loop, no per-row Python."""
     from galago_git_spark.query.nodes import is_term_leaf
 
-    frames = [compile_count(c, index) for c in node.children]
+    frames = [
+        compile_count(c, index, need_positions=True) for c in node.children
+    ]
     joined = frames[0].select("doc", F.col("positions").alias("pos_0"))
     for i, f in enumerate(frames[1:], 1):
         joined = joined.join(

@@ -7,7 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from galago_git_spark.index.build import assign_doc_ids, build_index, open_index
-from galago_git_spark.index.window import build_window_postings
+from galago_git_spark.index.window import (
+    build_unordered_window_postings,
+    build_window_postings,
+)
 from galago_git_spark.query.executor import compile_count, execute
 from galago_git_spark.query.parser import parse
 from galago_git_spark.query.traversals import transform
@@ -21,6 +24,7 @@ def windowed_index(spark, tmp_path_factory):
     build_index(corpus, d, positions=True)
     numbered = assign_doc_ids(corpus)
     build_window_postings(numbered, d, n=2)
+    build_unordered_window_postings(numbered, d, width=8)
     return d
 
 
@@ -68,3 +72,62 @@ def test_frequency_threshold_prunes(spark, tmp_path):
         .collect()[0][0]
     )
     assert cfs >= 5
+
+
+def test_uw_rewrite_equals_positional_loop(spark, windowed_index):
+    """#uw:8 over two distinct bare terms resolves to the unordered pair
+    part with counts identical to the positional merge loop."""
+    idx = open_index(spark, windowed_index)
+    assert idx.window_parts and ("uw", 8) in idx.window_parts
+    node = transform(parse("#uw:8(def return)"))
+    via_part = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node, idx).select("doc", "tf").collect()
+    }
+    idx_nopart = open_index(spark, windowed_index)
+    idx_nopart.window_parts = None
+    via_loop = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node, idx_nopart).select("doc", "tf").collect()
+    }
+    assert via_loop, "fixture must have co-occurring pairs"
+    assert via_part == via_loop
+    # the part really is in the plan (not the positional join)
+    plan = compile_count(node, idx)._jdf.queryExecution().toString()
+    assert "window.uw.n2.w8" in plan
+    # symmetric children hit the same sorted key
+    node_r = transform(parse("#uw:8(return def)"))
+    via_part_r = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node_r, idx).select("doc", "tf").collect()
+    }
+    assert via_part_r == via_part
+
+
+def test_uw_rewrite_respects_width_and_context(spark, windowed_index):
+    idx = open_index(spark, windowed_index)
+    # a different width must NOT use the w8 part
+    node5 = transform(parse("#uw:5(def return)"))
+    plan5 = compile_count(node5, idx)._jdf.queryExecution().toString()
+    assert "window.uw.n2.w8" not in plan5
+    # a positions-consuming caller must bypass the part (null positions
+    # would poison window/synonym/inside kernels)
+    node8 = transform(parse("#uw:8(def return)"))
+    plan_pos = (
+        compile_count(node8, idx, need_positions=True)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "window.uw.n2.w8" not in plan_pos
+
+
+def test_sdm_identical_with_uw_part(spark, windowed_index):
+    """#sdm uses both the od:1 part and the uw:8 part when present — the
+    ranking must equal the part-less positional evaluation exactly."""
+    idx = open_index(spark, windowed_index)
+    idx_nopart = open_index(spark, windowed_index)
+    idx_nopart.window_parts = None
+    q = "#sdm(def return)"
+    a = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx, k=10).collect()]
+    b = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx_nopart, k=10).collect()]
+    assert a == b
