@@ -279,6 +279,96 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_build_window(args: argparse.Namespace) -> dict:
+    """``galago build-window`` analog (BuildWindowIndex.java:1-60):
+    materialize a window part over an existing index's corpus — contiguous
+    ordered n-grams (``--n``) or unordered pair windows
+    (``--unordered --width W``)."""
+    spark = _get_spark(args.cores, "galago-build-window")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import assign_doc_ids
+    from galago_git_spark.index.window import (
+        build_unordered_window_postings,
+        build_window_postings,
+    )
+
+    if args.input.startswith("synthetic:"):
+        from galago_git_spark.sources.corpus import synthetic_code_corpus
+
+        n = int(args.input.split(":", 1)[1])
+        docs = synthetic_code_corpus(spark, n_docs=n, seed=args.seed)
+    else:
+        docs = spark.read.parquet(args.input)
+    numbered = assign_doc_ids(docs)
+    t0 = time.perf_counter()
+    if args.unordered:
+        part_dir = build_unordered_window_postings(
+            numbered, args.index, width=args.width,
+            frequency_threshold=args.threshold,
+        )
+    else:
+        part_dir = build_window_postings(
+            numbered, args.index, n=args.n,
+            frequency_threshold=args.threshold,
+        )
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cmd": "build-window",
+        "part": part_dir.rsplit("/", 1)[-1],
+        "ordered": not args.unordered,
+        "build_sec": round(dt, 3),
+    }
+
+
+def cmd_doc(args: argparse.Namespace) -> dict:
+    """``galago doc`` analog (DumpDocFn.java:38-57): full text + metadata
+    of the document named by --id (external name or internal number)."""
+    spark = _get_spark(args.cores, "galago-doc")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.operators.docs import fetch_document
+
+    idx = open_index(spark, args.index)
+    corpus = spark.read.parquet(args.corpus)
+    doc = fetch_document(idx, corpus, args.id, tokenize=args.tokenize)
+    if doc is not None and doc.get("text") and not args.text:
+        doc["text"] = None
+    spark.stop()
+    if doc is None:
+        return {"cmd": "doc", "id": args.id, "found": False}
+    print(doc["text"] or "", file=sys.stderr)
+    return {"cmd": "doc", "found": True, **doc}
+
+
+def cmd_doc_id(args: argparse.Namespace) -> dict:
+    """``galago doc-id`` analog (DumpDocIdFn.java:29-39): external name ->
+    internal document number via the names part's reverse direction."""
+    spark = _get_spark(args.cores, "galago-doc-id")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.operators.docs import doc_id
+
+    idx = open_index(spark, args.index)
+    num = doc_id(idx, args.id)
+    spark.stop()
+    return {"cmd": "doc-id", "id": args.id, "doc": num}
+
+
+def cmd_doc_name(args: argparse.Namespace) -> dict:
+    """``galago doc-name`` analog (DumpDocNameFn.java:28-40): internal
+    number -> external name."""
+    spark = _get_spark(args.cores, "galago-doc-name")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.operators.docs import doc_name
+
+    idx = open_index(spark, args.index)
+    name = doc_name(idx, args.doc)
+    spark.stop()
+    return {"cmd": "doc-name", "doc": args.doc, "name": name}
+
+
 def cmd_stats(args: argparse.Namespace) -> dict:
     """``galago stats`` analog (tools/apps/StatsFn.java): collection/field
     statistics from the stats part."""
@@ -502,6 +592,43 @@ def main(argv: list[str] | None = None) -> int:
                     help="daat: per-query WAND/executor; plan: whole batch as one DataFrame job")
     bs.add_argument("--timing", action="store_true")
     bs.set_defaults(fn=cmd_batch_search)
+
+    bw = sub.add_parser("build-window")
+    bw.add_argument("--input", required=True,
+                    help="parquet corpus dir (same as build --input), or synthetic:N")
+    bw.add_argument("--index", required=True)
+    bw.add_argument("--n", type=int, default=2, help="ordered n-gram size")
+    bw.add_argument("--unordered", action="store_true",
+                    help="build the unordered pair part instead (uses --width)")
+    bw.add_argument("--width", type=int, default=8)
+    bw.add_argument("--threshold", type=int, default=0,
+                    help="drop windows with collection frequency below this")
+    bw.add_argument("--seed", type=int, default=42)
+    bw.add_argument("--cores", type=int, default=8)
+    bw.set_defaults(fn=cmd_build_window)
+
+    dq = sub.add_parser("doc")
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--corpus", required=True)
+    dq.add_argument("--id", required=True,
+                    help="external name repo:path@commit, or internal number")
+    dq.add_argument("--text", action="store_true", default=True)
+    dq.add_argument("--no-text", dest="text", action="store_false")
+    dq.add_argument("--tokenize", action="store_true")
+    dq.add_argument("--cores", type=int, default=4)
+    dq.set_defaults(fn=cmd_doc)
+
+    did = sub.add_parser("doc-id")
+    did.add_argument("--index", required=True)
+    did.add_argument("--id", required=True)
+    did.add_argument("--cores", type=int, default=4)
+    did.set_defaults(fn=cmd_doc_id)
+
+    dn = sub.add_parser("doc-name")
+    dn.add_argument("--index", required=True)
+    dn.add_argument("--doc", type=int, required=True)
+    dn.add_argument("--cores", type=int, default=4)
+    dn.set_defaults(fn=cmd_doc_name)
 
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)

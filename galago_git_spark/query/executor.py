@@ -550,14 +550,47 @@ def _scorer_column(
         denominator = (ft - rt + 0.5) / (N - ft - R + rt + 0.5)
         value = factor * math.log(numerator / denominator)
         return F.when(tf > 0, F.lit(value)).otherwise(0.0)
+    if op in _CUSTOM_SCORERS:
+        return _CUSTOM_SCORERS[op](node, tf, length, ts, cs)
     raise ValueError(f"unsupported scorer: #{op}")
+
+
+# user-registered scoring operators — the FeatureFactory external-operator
+# hook (FeatureFactory.java:157-206, the `operators` global parameter maps
+# operator names to user classes). Here the "class" is a column builder.
+_CUSTOM_SCORERS: dict = {}
+
+
+def register_scorer(name: str, column_fn) -> None:
+    """Register a user scoring operator ``#name`` usable anywhere a
+    built-in scorer is (inside #combine/#wsum/#sdm weights, over any
+    count-typed subtree). ``column_fn(node, tf, length, ts, cs) -> Column``
+    receives the query node (for parameters), the tf and doc-length
+    columns, and the node's TermStats / CollectionStats — the same
+    contract as the built-in scorers, so the expression stays JVM-side.
+
+    The analog of FeatureFactory's external operator lookup
+    (``FeatureFactory.java:157-206``): pure registration, no global
+    rewrite; the traversal pipeline learns the name so implicit casting
+    treats it as a scorer."""
+    from galago_git_spark.query import traversals
+
+    _CUSTOM_SCORERS[name] = column_fn
+    traversals.SCORERS.add(name)
+
+
+def unregister_scorer(name: str) -> None:
+    from galago_git_spark.query import traversals
+
+    _CUSTOM_SCORERS.pop(name, None)
+    traversals.SCORERS.discard(name)
 
 
 def _is_scorer(node: Node) -> bool:
     return node.operator in (
         "bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field",
         "bm25rf", "logcount", "prior"
-    )
+    ) or node.operator in _CUSTOM_SCORERS
 
 
 def _is_flat_term_scorer(node: Node) -> bool:
@@ -570,11 +603,15 @@ def _is_flat_term_scorer(node: Node) -> bool:
 
 
 def score_frame(
-    query: str | Node, index: Index, default_scorer: str = "dirichlet"
+    query: str | Node,
+    index: Index,
+    default_scorer: str = "dirichlet",
+    op_repls: dict | None = None,
 ) -> DataFrame:
     """Full scored candidate set ``(doc, score)`` — unranked, unlimited.
     The building block for execute() and for oracle-checked wrappers that
-    need to rank on rounded scores."""
+    need to rank on rounded scores. ``op_repls`` is the user operator
+    aliasing map (ReplaceOperatorTraversal's ``opRepls`` parameter)."""
     node = parse(query) if isinstance(query, str) else query
     if node.operator in ("rm", "rm3", "prf"):
         # RelevanceModelTraversal (traversal #1): runs a first-pass query,
@@ -591,7 +628,7 @@ def score_frame(
             fb_terms=node.get_int("fbTerm", 100),
             default_scorer=default_scorer,
         )
-    node = transform(node, default_scorer)
+    node = transform(node, default_scorer, op_repls=op_repls)
     if node.operator in ("require", "reject"):
         # RequireIterator / RejectIterator over a scored child: the filter
         # indicator gates the ranked result (semi/anti join) — supports
@@ -620,13 +657,17 @@ def execute(
     k: int = 10,
     default_scorer: str = "dirichlet",
     with_names: bool = False,
+    op_repls: dict | None = None,
 ) -> DataFrame:
     """Parse (if needed), transform, compile, and run a ranked query.
 
     Returns ``(doc, score, rank)`` — score desc, then ascending doc
     (ScoredDocument.java:41-52 tie-break) — limited to k.
+    ``op_repls``: user operator aliasing (``{"dummy": "sdm"}`` or
+    ``{"dummy": ["stopword", "combine"]}``) applied before the rewrite
+    pipeline — ReplaceOperatorTraversal's ``opRepls`` parameter.
     """
-    scored = score_frame(query, index, default_scorer)
+    scored = score_frame(query, index, default_scorer, op_repls=op_repls)
     out = (
         scored.orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(k)

@@ -374,7 +374,30 @@ PIPELINE = [
 ]
 
 
-def transform(node: Node, default_scorer: str = "dirichlet") -> Node:
+def user_replace_operators(node: Node, op_repls: dict) -> Node:
+    """User-configured operator replacement — the ``opRepls`` parameter of
+    ``ReplaceOperatorTraversal.java:15-22``: a value may be a single
+    operator name (``{"dummy": "sdm"}`` → ``#dummy(..)`` becomes
+    ``#sdm(..)``) or a list (``{"dummy": ["stopword", "combine"]}`` →
+    nested wrapping ``#stopword(#combine(..))``, parameters kept on the
+    innermost node). Applied before the static alias pass, like the
+    reference runs ReplaceOperatorTraversal first in the pipeline."""
+    _map_children(node, lambda c: user_replace_operators(c, op_repls))
+    repl = op_repls.get(node.operator)
+    if repl is None:
+        return node
+    names = [repl] if isinstance(repl, str) else list(repl)
+    out = Node(names[-1], dict(node.parameters), node.children)
+    for name in reversed(names[:-1]):
+        out = Node(name, {}, [out])
+    return out
+
+
+def transform(
+    node: Node,
+    default_scorer: str = "dirichlet",
+    op_repls: dict | None = None,
+) -> Node:
     """Run the full rewrite pipeline (LocalRetrieval.transformQuery analog).
 
     ``default_scorer`` is the engine-level default (the analog of the
@@ -387,6 +410,8 @@ def transform(node: Node, default_scorer: str = "dirichlet") -> Node:
     handle — the stats *source* is identical (lengths-part field stats +
     per-term node stats)."""
     out = deepcopy(node)
+    if op_repls:
+        out = user_replace_operators(out, op_repls)
     for rule in PIPELINE:
         if rule is implicit_feature_cast:
             out = implicit_feature_cast(out, default_scorer)

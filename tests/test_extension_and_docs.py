@@ -1,0 +1,187 @@
+"""Operator-extension surface (FeatureFactory.java:157-206 external
+operators; ReplaceOperatorTraversal.java opRepls) and the document-fetch
+tools (DumpDocFn/DumpDocIdFn/DumpDocNameFn)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from galago_git_spark.index.build import build_index, open_index
+from galago_git_spark.operators.docs import doc_id, doc_name, fetch_document
+from galago_git_spark.query.executor import (
+    execute,
+    register_scorer,
+    unregister_scorer,
+)
+from galago_git_spark.query.parser import parse
+from galago_git_spark.query.traversals import transform
+from galago_git_spark.sources.corpus import synthetic_code_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_and_index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("extdocs")
+    cdir, idir = str(root / "corpus"), str(root / "idx")
+    corpus = synthetic_code_corpus(spark, n_docs=60, seed=7)
+    corpus.write.parquet(cdir)
+    build_index(spark.read.parquet(cdir), idir, positions=True)
+    return cdir, idir
+
+
+# --------------------------------------------------------------------------
+# register_scorer
+# --------------------------------------------------------------------------
+
+def test_register_scorer_runs_through_execute(spark, corpus_and_index):
+    _, idir = corpus_and_index
+    idx = open_index(spark, idir)
+
+    def mylog(node, tf, length, ts, cs):
+        return F.log(tf)
+
+    register_scorer("mylog", mylog)
+    try:
+        got = [
+            (r["doc"], round(r["score"], 9))
+            for r in execute("#combine(#mylog(def))", idx, k=10).collect()
+        ]
+        want = [
+            (r["doc"], round(r["score"], 9))
+            for r in execute("#combine(#logcount(def))", idx, k=10).collect()
+        ]
+        assert got and got == want
+    finally:
+        unregister_scorer("mylog")
+    with pytest.raises(ValueError):
+        execute("#combine(#mylog(def))", idx, k=10).collect()
+
+
+def test_register_scorer_reads_node_params(spark, corpus_and_index):
+    _, idir = corpus_and_index
+    idx = open_index(spark, idir)
+
+    def constw(node, tf, length, ts, cs):
+        w = node.get_float("w", 1.0)
+        return F.when(tf > 0, F.lit(w)).otherwise(0.0)
+
+    register_scorer("constw", constw)
+    try:
+        rows = execute("#combine:norm=false(#constw:w=2.5(def))", idx, k=5).collect()
+        assert rows and all(abs(r["score"] - 2.5) < 1e-12 for r in rows)
+    finally:
+        unregister_scorer("constw")
+
+
+# --------------------------------------------------------------------------
+# opRepls user aliasing
+# --------------------------------------------------------------------------
+
+def test_op_repls_single_replacement(spark, corpus_and_index):
+    _, idir = corpus_and_index
+    idx = open_index(spark, idir)
+    a = [
+        (r["doc"], round(r["score"], 9))
+        for r in execute(
+            "#dummy(def return)", idx, k=10, op_repls={"dummy": "sdm"}
+        ).collect()
+    ]
+    b = [
+        (r["doc"], round(r["score"], 9))
+        for r in execute("#sdm(def return)", idx, k=10).collect()
+    ]
+    assert a and a == b
+
+
+def test_op_repls_list_nests(spark):
+    # {"dummy": ["stopword", "combine"]} -> #dummy(..) becomes
+    # #stopword(#combine(..)) before the standard pipeline
+    # (ReplaceOperatorTraversal.java:15-22 list form)
+    a = transform(
+        parse("#dummy(def the return)"),
+        op_repls={"dummy": ["stopword", "combine"]},
+    )
+    b = transform(parse("#stopword(#combine(def the return))"))
+    assert str(a) == str(b)
+
+
+# --------------------------------------------------------------------------
+# doc fetch API
+# --------------------------------------------------------------------------
+
+def test_doc_name_id_roundtrip(spark, corpus_and_index):
+    _, idir = corpus_and_index
+    idx = open_index(spark, idir)
+    name = doc_name(idx, 3)
+    assert name and ":" in name and "@" in name
+    assert doc_id(idx, name) == 3
+    assert doc_id(idx, "no:such@doc") is None
+    assert doc_name(idx, 10**9) is None
+
+
+def test_fetch_document_by_name_and_number(spark, corpus_and_index):
+    cdir, idir = corpus_and_index
+    idx = open_index(spark, idir)
+    corpus = spark.read.parquet(cdir)
+    name = doc_name(idx, 5)
+    d = fetch_document(idx, corpus, name, tokenize=True)
+    assert d is not None and d["doc"] == 5 and d["name"] == name
+    assert d["metadata"]["repo"] and d["metadata"]["commit"]
+    assert d["text"] and isinstance(d["terms"], list) and d["terms"]
+    # by internal number (int and digit-string)
+    assert fetch_document(idx, corpus, 5)["text"] == d["text"]
+    assert fetch_document(idx, corpus, "5")["doc"] == 5
+    assert fetch_document(idx, corpus, "zz:zz@zz") is None
+
+
+# --------------------------------------------------------------------------
+# CLI: doc / doc-id / doc-name / build-window
+# --------------------------------------------------------------------------
+
+def _cli(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-m", "galago_git_spark", *args],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    return json.loads(
+        [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    )
+
+
+def test_doc_tools_cli(spark, corpus_and_index):
+    cdir, idir = corpus_and_index
+    idx = open_index(spark, idir)
+    name = doc_name(idx, 2)
+    r = _cli(["doc-id", "--index", idir, "--id", name, "--cores", "2"])
+    assert r["doc"] == 2
+    r = _cli(["doc-name", "--index", idir, "--doc", "2", "--cores", "2"])
+    assert r["name"] == name
+    r = _cli(["doc", "--index", idir, "--corpus", cdir, "--id", name,
+              "--tokenize", "--cores", "2"])
+    assert r["found"] and r["doc"] == 2 and r["text"] and r["terms"]
+    r = _cli(["doc", "--index", idir, "--corpus", cdir, "--id", "a:b@c",
+              "--cores", "2"])
+    assert r["found"] is False
+
+
+def test_build_window_cli(spark, corpus_and_index):
+    cdir, idir = corpus_and_index
+    r = _cli(["build-window", "--input", cdir, "--index", idir,
+              "--unordered", "--width", "8", "--cores", "2"])
+    assert r["part"] == "window.uw.n2.w8" and r["ordered"] is False
+    r2 = _cli(["build-window", "--input", cdir, "--index", idir,
+               "--n", "2", "--cores", "2"])
+    assert r2["part"] == "window.od1.2"
+    idx = open_index(spark, idir)
+    assert ("uw", 8) in idx.window_parts and 2 in idx.window_parts
+    # part-backed #uw matches the positional loop on the reopened index
+    idx_nopart = open_index(spark, idir)
+    idx_nopart.window_parts = None
+    q = "#combine(#uw:8(def return))"
+    a = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx, k=10).collect()]
+    b = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx_nopart, k=10).collect()]
+    assert a and a == b
