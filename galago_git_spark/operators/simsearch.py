@@ -216,32 +216,24 @@ def _quantize(col: Column) -> Column:
     return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _seed_centroids(
+    embeddings: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, cell): IVF coarse quantizer — centroids are the embeddings of
-    the ``n_cells`` lowest ids (deterministic, engine-reproducible; a
-    k-means refinement slots in without changing the plan shape), and
-    assignment maximizes the EXACT integer dot product on 1e3-quantized
-    vectors with lowest-centroid-id tie-break, so every engine and
-    cluster size produces identical cells.
-
-    Scale shape: the centroid set is tiny and broadcast; assignment is one
-    narrow projection over the corpus — no shuffle. Queries then touch
-    only ``n_probe`` cells (:func:`ivf_cosine_topk`)."""
-    cents = (
+    """(cent_id, cvec): deterministic quantized seeds — the embeddings of
+    the ``n_cells`` lowest ids."""
+    return (
         embeddings.orderBy(F.col(id_col).asc())
         .limit(n_cells)
         .select(
             F.col(id_col).alias("cent_id"), _quantize(F.col(vec_col)).alias("cvec")
         )
     )
-    e = embeddings.select(
-        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qvec")
-    )
+
+
+def _assign_to(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, cell): nearest centroid by EXACT integer dot product with
+    lowest-centroid-id tie-break — identical on every engine and cluster
+    size. The centroid set is tiny and broadcast; no shuffle."""
     scored = e.join(F.broadcast(cents)).withColumn(
         "dot", _int_dot(F.col("qvec"), F.col("cvec"))
     )
@@ -253,6 +245,82 @@ def ivf_assign(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cent_id, cvec) quantized IVF centroids. ``iterations=0`` returns
+    the deterministic seeds; ``iterations>0`` runs that many Lloyd steps
+    — still fully deterministic across partitioning and cluster size:
+    assignment uses the exact integer dot with id tie-break, and the new
+    centroid is the element-wise integer mean of its members' quantized
+    vectors (integer sums are exactly associative, so partial aggregation
+    order cannot change the result). Cells that lose every member keep
+    their previous centroid.
+
+    Scale shape per iteration: one broadcast-join assignment scan over the
+    corpus + one (cell, dim)-keyed aggregation — the unavoidable Lloyd
+    cost; centroids collapse to n_cells*dim longs and are re-broadcast."""
+    cents = _seed_centroids(embeddings, n_cells, id_col, vec_col)
+    if iterations <= 0:
+        return cents
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qvec")
+    )
+    for _ in range(iterations):
+        assign = _assign_to(e, cents)
+        means = (
+            e.join(assign, "id")
+            .select("cell", F.posexplode("qvec").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .withColumn("m", F.round(F.col("s") / F.col("c")).cast("long"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("cvec")
+            )
+            .select(F.col("cell").alias("cent_id"), "cvec")
+        )
+        # materialize to driver literals: n_cells rows of dim longs —
+        # breaks the per-iteration lineage and keeps the broadcast shape
+        rows = means.collect()
+        updated = {r["cent_id"]: list(r["cvec"]) for r in rows}
+        prev = {r["cent_id"]: list(r["cvec"]) for r in cents.collect()}
+        merged = [(cid, updated.get(cid, vec)) for cid, vec in sorted(prev.items())]
+        cents = spark.createDataFrame(merged, "cent_id long, cvec array<long>")
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 0,
+) -> DataFrame:
+    """(id, cell): IVF coarse quantizer — centroids from
+    :func:`ivf_centroids` (seeds, or k-means-refined with
+    ``iterations>0``); assignment maximizes the EXACT integer dot product
+    on 1e3-quantized vectors with lowest-centroid-id tie-break, so every
+    engine and cluster size produces identical cells.
+
+    Scale shape: the centroid set is tiny and broadcast; assignment is one
+    narrow projection over the corpus — no shuffle. Queries then touch
+    only ``n_probe`` cells (:func:`ivf_cosine_topk`)."""
+    cents = ivf_centroids(embeddings, n_cells, iterations, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qvec")
+    )
+    return _assign_to(e, cents)
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -261,19 +329,18 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iterations: int = 0,
 ) -> DataFrame:
     """IVF ANN: exact cosine top-k restricted to the ``n_probe`` cells
     whose centroids best match the query (by the same exact integer dot).
     Approximate by design (cross-cell neighbors missed); raise n_probe
-    for recall. The probed fraction is n_probe/n_cells of the corpus."""
-    assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
-    cents = (
-        embeddings.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cent_id"), _quantize(F.col(vec_col)).alias("cvec")
-        )
+    for recall, or ``iterations`` for k-means-refined cells. The probed
+    fraction is n_probe/n_cells of the corpus."""
+    cents = ivf_centroids(embeddings, n_cells, iterations, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qvec")
     )
+    assign = _assign_to(e, cents)
     qq = [int(round(float(x) * 1000)) for x in query_vec]
     qarr = F.array(*[F.lit(v).cast("long") for v in qq])
     probed = (

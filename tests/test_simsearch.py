@@ -83,3 +83,57 @@ def test_ivf_assign_deterministic_across_partitioning(emb):
     a = {(r["id"], r["cell"]) for r in ivf_assign(emb.repartition(1)).collect()}
     b = {(r["id"], r["cell"]) for r in ivf_assign(emb.repartition(5)).collect()}
     assert a == b
+
+
+def _clustered_fixture(spark):
+    """4 well-separated clusters; the first 8 ids (the naive seeds) all sit
+    in cluster 0, so the seed quantizer is degenerate and Lloyd refinement
+    has something to fix."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for _ in range(8):
+        v = centers[0] + 0.05 * rng.normal(size=16)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    for c in range(4):
+        for _ in range(30):
+            v = centers[c] + 0.05 * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return emb, [float(x) for x in centers[3]]
+
+
+def test_ivf_kmeans_refinement_improves_recall(spark):
+    from galago_git_spark.operators.simsearch import cosine_topk, ivf_cosine_topk
+
+    emb, q = _clustered_fixture(spark)
+    brute = {r["id"] for r in cosine_topk(emb, q, k=10).collect()}
+    base = {
+        r["id"]
+        for r in ivf_cosine_topk(emb, q, k=10, n_cells=8, n_probe=1).collect()
+    }
+    refined = {
+        r["id"]
+        for r in ivf_cosine_topk(
+            emb, q, k=10, n_cells=8, n_probe=1, iterations=2
+        ).collect()
+    }
+    assert len(refined & brute) > len(base & brute)
+
+
+def test_ivf_refined_centroids_deterministic_across_partitioning(spark):
+    from galago_git_spark.operators.simsearch import ivf_centroids
+
+    emb, _ = _clustered_fixture(spark)
+    a = {
+        (r["cent_id"], tuple(r["cvec"]))
+        for r in ivf_centroids(emb.repartition(1), n_cells=8, iterations=2).collect()
+    }
+    b = {
+        (r["cent_id"], tuple(r["cvec"]))
+        for r in ivf_centroids(emb.repartition(5), n_cells=8, iterations=2).collect()
+    }
+    assert a == b
