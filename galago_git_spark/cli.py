@@ -369,6 +369,30 @@ def cmd_doc_name(args: argparse.Namespace) -> dict:
     return {"cmd": "doc-name", "doc": args.doc, "name": name}
 
 
+def cmd_web(args: argparse.Namespace) -> dict:
+    """``galago search`` web daemon analog (SearchFn.java /
+    SearchWebHandler.java): serve /search /document /snippet /xcount
+    /doccount /stats /parts /transformquery as JSON until interrupted."""
+    spark = _get_spark(args.cores, "galago-web")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.service import SearchService, serve
+
+    service = SearchService(spark, args.index, corpus_path=args.corpus,
+                            default_scorer=args.scorer)
+    server = serve(service, port=args.port)
+    host, port = server.server_address
+    print(json.dumps({"cmd": "web", "url": f"http://{host}:{port}"}))
+    sys.stdout.flush()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        spark.stop()
+    return {"cmd": "web", "stopped": True}
+
+
 def cmd_stats(args: argparse.Namespace) -> dict:
     """``galago stats`` analog (tools/apps/StatsFn.java): collection/field
     statistics from the stats part."""
@@ -629,6 +653,14 @@ def main(argv: list[str] | None = None) -> int:
     dn.add_argument("--doc", type=int, required=True)
     dn.add_argument("--cores", type=int, default=4)
     dn.set_defaults(fn=cmd_doc_name)
+
+    wb = sub.add_parser("web")
+    wb.add_argument("--index", required=True)
+    wb.add_argument("--corpus", default=None)
+    wb.add_argument("--port", type=int, default=8080)
+    wb.add_argument("--scorer", default="dirichlet")
+    wb.add_argument("--cores", type=int, default=8)
+    wb.set_defaults(fn=cmd_web)
 
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)

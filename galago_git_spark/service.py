@@ -1,0 +1,239 @@
+"""HTTP search service — the ``galago search`` web daemon
+(``core/.../tools/Search.java:26-106``, route dispatch
+``SearchWebHandler.java:458-497``) re-expressed as a stdlib
+``ThreadingHTTPServer`` over one shared SparkSession.
+
+Routes (JSON everywhere — the reference's XML/HTML skins are rendering,
+not retrieval; its JSON-shaped SearchResult/SearchResultItem fields are
+kept: rank, identifier, score, metadata, summary):
+
+    /search?q=...&k=10[&scorer=bm25][&wand=true]   handleSearch
+    /document?id=<name-or-number>[&tokenize=true]  handleDocument
+    /snippet?id=...&term=a&term=b                  handleSnippet
+    /xcount?expression=...                         handleXCount
+    /doccount?expression=...                       handleDocCount
+    /stats                                         handleStats
+    /parts                                         handleParts
+    /transformquery?q=...                          handleTransformQuery
+
+Concurrency model: Spark job submission is thread-safe, so each HTTP
+thread submits its query as an independent job into the shared scheduler
+(FAIR mode recommended) — the same shape as the reference's servlet
+threads over one Retrieval object."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import functions as F
+
+
+class SearchService:
+    """Search.java analog: an open index (+ optional corpus table for
+    document text and snippets) answering retrieval requests."""
+
+    def __init__(self, spark, index_dir: str, corpus_path: str | None = None,
+                 default_scorer: str = "dirichlet"):
+        from galago_git_spark.index.build import open_index
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.index = open_index(spark, index_dir)
+        self.corpus = (
+            spark.read.parquet(corpus_path) if corpus_path else None
+        )
+        self.default_scorer = default_scorer
+
+    # -- retrieval ---------------------------------------------------------
+
+    def search(self, q: str, k: int = 10, scorer: str | None = None,
+               snippets: bool = True) -> dict:
+        """SearchResult shape (Search.java:55-77): items carry rank,
+        identifier (external name), score, metadata, summary (highlighted
+        snippet when a corpus is attached)."""
+        from galago_git_spark.operators.docs import name_expr
+        from galago_git_spark.query.executor import execute
+
+        scorer = scorer or self.default_scorer
+        rows = execute(q, self.index, k=k, default_scorer=scorer).collect()
+        names = {
+            r["doc"]: r
+            for r in self.index.names.withColumn("name", name_expr())
+            .filter(F.col("doc").isin([r["doc"] for r in rows]) if rows else F.lit(False))
+            .collect()
+        }
+        summaries = {}
+        if snippets and self.corpus is not None and rows:
+            summaries = self._summaries(q, [r["doc"] for r in rows])
+        items = []
+        for r in rows:
+            nm = names.get(r["doc"])
+            items.append({
+                "rank": r["rank"],
+                "document": int(r["doc"]),
+                "identifier": nm["name"] if nm else None,
+                "score": r["score"],
+                "metadata": {
+                    k2: nm[k2] for k2 in ("repo", "path", "commit", "lang")
+                    if nm is not None and k2 in nm.asDict()
+                } if nm else {},
+                "summary": summaries.get(r["doc"]),
+            })
+        return {
+            "queryAsString": q,
+            "transformedQuery": self.transform_query(q)["transformed"],
+            "items": items,
+        }
+
+    def _summaries(self, q: str, docs: list[int]) -> dict:
+        from galago_git_spark.operators.snippets import snippets_frame
+        from galago_git_spark.query.nodes import Node, is_term_leaf
+        from galago_git_spark.query.parser import parse
+        from galago_git_spark.query.traversals import transform
+
+        def leaf_terms(n: Node) -> list[str]:
+            if is_term_leaf(n):
+                return [str(n.default_param)]
+            return [t for c in n.children for t in leaf_terms(c)]
+
+        terms = sorted(set(leaf_terms(transform(parse(q)))))
+        texts = (
+            self.index.names.filter(F.col("doc").isin(docs))
+            .select("doc", "repo", "path", "commit")
+            .join(self.corpus, ["repo", "path", "commit"])
+            .select("doc", F.col("content").alias("text"))
+        )
+        return {
+            r["doc"]: r["snippet"]
+            for r in snippets_frame(texts, terms, doc_col="doc").collect()
+        }
+
+    def document(self, identifier: str, tokenize: bool = False) -> dict | None:
+        if self.corpus is None:
+            raise ValueError("service started without a corpus table")
+        from galago_git_spark.operators.docs import fetch_document
+
+        return fetch_document(self.index, self.corpus, identifier,
+                              tokenize=tokenize)
+
+    def snippet(self, identifier: str, terms: list[str]) -> dict | None:
+        from galago_git_spark.operators.snippets import best_snippet
+
+        d = self.document(identifier)
+        if d is None:
+            return None
+        return {"identifier": d["name"],
+                "snippet": best_snippet(d["text"] or "", terms)}
+
+    def xcount(self, expression: str) -> dict:
+        from galago_git_spark.query.executor import node_stats
+        from galago_git_spark.query.parser import parse
+        from galago_git_spark.query.traversals import transform
+
+        ns = node_stats(transform(parse(expression)), self.index)
+        return {"expression": expression, "count": ns.cf}
+
+    def doccount(self, expression: str) -> dict:
+        from galago_git_spark.query.executor import node_stats
+        from galago_git_spark.query.parser import parse
+        from galago_git_spark.query.traversals import transform
+
+        ns = node_stats(transform(parse(expression)), self.index)
+        return {"expression": expression, "count": ns.df}
+
+    def stats(self) -> dict:
+        row = self.spark.read.parquet(
+            os.path.join(self.index_dir, "stats")
+        ).collect()[0]
+        return row.asDict()
+
+    def parts(self) -> dict:
+        manifest_path = os.path.join(self.index_dir, "manifest.json")
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        return {"parts": sorted(manifest.get("parts", {}))}
+
+    def transform_query(self, q: str) -> dict:
+        from galago_git_spark.query.parser import parse
+        from galago_git_spark.query.traversals import transform
+
+        return {
+            "query": q,
+            "transformed": str(transform(parse(q), self.default_scorer)),
+        }
+
+
+def make_handler(service: SearchService):
+    """Route table — SearchWebHandler.handle (SearchWebHandler.java:
+    458-497), JSON responses."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test servers
+            pass
+
+        def _reply(self, obj, status: int = 200) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            u = urlparse(self.path)
+            p = parse_qs(u.query)
+            one = lambda k, d=None: p.get(k, [d])[0]
+            try:
+                if u.path == "/search":
+                    self._reply(service.search(
+                        one("q", ""), k=int(one("k", "10")),
+                        scorer=one("scorer"),
+                        snippets=one("snippets", "true") != "false",
+                    ))
+                elif u.path == "/document":
+                    d = service.document(
+                        one("id", ""), tokenize=one("tokenize") == "true"
+                    )
+                    self._reply(d if d is not None
+                                else {"error": "not found"},
+                                200 if d is not None else 404)
+                elif u.path == "/snippet":
+                    s = service.snippet(one("id", ""), p.get("term", []))
+                    self._reply(s if s is not None
+                                else {"error": "not found"},
+                                200 if s is not None else 404)
+                elif u.path == "/xcount":
+                    self._reply(service.xcount(one("expression", "")))
+                elif u.path == "/doccount":
+                    self._reply(service.doccount(one("expression", "")))
+                elif u.path == "/stats":
+                    self._reply(service.stats())
+                elif u.path == "/parts":
+                    self._reply(service.parts())
+                elif u.path == "/transformquery":
+                    self._reply(service.transform_query(one("q", "")))
+                else:
+                    self._reply({"error": f"no route {u.path}"}, 404)
+            except Exception as e:  # surface retrieval errors as JSON
+                self._reply({"error": str(e)}, 500)
+
+    return Handler
+
+
+def serve(service: SearchService, port: int = 0) -> ThreadingHTTPServer:
+    """Bind and return the server (port 0 = ephemeral; read
+    ``server.server_address``). Caller drives ``serve_forever`` — the CLI
+    blocks on it, tests run it in a daemon thread."""
+    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+
+
+def serve_in_thread(service: SearchService, port: int = 0):
+    """(server, thread) with serve_forever running as a daemon."""
+    server = serve(service, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, t

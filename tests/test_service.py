@@ -1,0 +1,104 @@
+"""HTTP search service (Search.java / SearchWebHandler.java analog):
+route coverage, result shape, parity with the library API, concurrent
+requests into the shared scheduler."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import functions as F
+
+from galago_git_spark.index.build import build_index, open_index
+from galago_git_spark.operators.docs import doc_name
+from galago_git_spark.query.executor import execute
+from galago_git_spark.service import SearchService, serve_in_thread
+from galago_git_spark.sources.corpus import synthetic_code_corpus
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("svc")
+    cdir, idir = str(root / "corpus"), str(root / "idx")
+    corpus = synthetic_code_corpus(spark, n_docs=50, seed=3)
+    corpus.write.parquet(cdir)
+    build_index(spark.read.parquet(cdir), idir, positions=True)
+    service = SearchService(spark, idir, corpus_path=cdir)
+    srv, thread = serve_in_thread(service)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", idir
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(base: str, path: str, status: int = 200, **params) -> dict:
+    qs = urllib.parse.urlencode(params, doseq=True)
+    url = f"{base}{path}" + (f"?{qs}" if qs else "")
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            assert r.status == status
+            return json.load(r)
+    except urllib.error.HTTPError as e:
+        assert e.code == status, f"{url}: {e.code}"
+        return json.load(e)
+
+
+def test_search_route_matches_library(spark, server):
+    base, idir = server
+    out = _get(base, "/search", q="#combine(def return)", k=5)
+    assert out["queryAsString"] == "#combine(def return)"
+    assert "combine" in out["transformedQuery"]
+    items = out["items"]
+    assert len(items) == 5
+    idx = open_index(spark, idir)
+    want = execute("#combine(def return)", idx, k=5).collect()
+    assert [i["document"] for i in items] == [r["doc"] for r in want]
+    assert [i["rank"] for i in items] == [r["rank"] for r in want]
+    top = items[0]
+    assert top["identifier"] and top["metadata"]["repo"]
+    assert top["summary"] and "<strong>" in top["summary"]
+
+
+def test_document_and_snippet_routes(spark, server):
+    base, idir = server
+    idx = open_index(spark, idir)
+    name = doc_name(idx, 4)
+    d = _get(base, "/document", id=name, tokenize="true")
+    assert d["doc"] == 4 and d["text"] and d["terms"]
+    s = _get(base, "/snippet", id=name, term=d["terms"][0])
+    assert s["identifier"] == name and "<strong>" in s["snippet"]
+    _get(base, "/document", id="no:such@doc", status=404)
+
+
+def test_count_stats_parts_transform_routes(spark, server):
+    base, idir = server
+    cf_def = (
+        spark.read.parquet(f"{idir}/termstats")
+        .filter(F.col("term") == "def").collect()[0]
+    )
+    assert _get(base, "/xcount", expression="def")["count"] == cf_def["cf"]
+    assert _get(base, "/doccount", expression="def")["count"] == cf_def["df"]
+    st = _get(base, "/stats")
+    assert st["document_count"] == 50
+    parts = _get(base, "/parts")["parts"]
+    assert "postings" in parts and "lengths" in parts
+    tq = _get(base, "/transformquery", q='"def return"')
+    assert "ordered" in tq["transformed"] or "od" in tq["transformed"]
+    _get(base, "/nope", status=404)
+    err = _get(base, "/search", q="#combine(def", status=500)
+    assert "error" in err
+
+
+def test_concurrent_searches(server):
+    base, _ = server
+    queries = ["#combine(def)", "#combine(return)", "#combine(class import)",
+               "#combine:scorer=bm25(def return)"]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        outs = list(pool.map(
+            lambda q: _get(base, "/search", q=q, k=3, snippets="false"), queries
+        ))
+    assert all(o["items"] for o in outs)
+    assert [o["queryAsString"] for o in outs] == queries
