@@ -141,6 +141,29 @@ def main() -> None:
                 ).collect(),
             )
 
+        # unordered pair-window part: build cost, then the same #uw:8
+        # query through the part rewrite vs the positional merge loop —
+        # the part path must win at sf0.1 (VERDICT r2 item 4)
+        uw_q = "#combine(#uw:8(table row))"
+        timed(
+            "q_uw_positional_top10",
+            lambda: execute(uw_q, idx, k=10).collect(),
+        )
+        from galago_git_spark.index.build import assign_doc_ids
+        from galago_git_spark.index.window import build_unordered_window_postings
+
+        timed(
+            "build_uw_window_part",
+            lambda: build_unordered_window_postings(
+                assign_doc_ids(docs), index_dir, width=8
+            ),
+        )
+        idx_w = open_index(spark, index_dir)
+        timed(
+            "q_uw_part_top10",
+            lambda: execute(uw_q, idx_w, k=10).collect(),
+        )
+
         # whole-batch single-plan retrieval (12 queries, one job)
         from galago_git_spark.query.batch import batch_bm25_topk, queries_to_terms
 

@@ -419,6 +419,34 @@ def q_sdm_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc", "score", "rank")
 
 
+def q_uw_part_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#uw:8(table row)`` resolved through the unordered pair-window
+    PART (``index/window.build_unordered_window_postings`` + the
+    ``_window_part_rewrite`` lookup) — grades the part build AND the
+    rewrite against the same positional-iterator SQL oracle as
+    ``fti_unordered_window``, so part-vs-loop identity is value-checked
+    by the driver, not just pytest."""
+    import os
+
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.index.window import build_unordered_window_postings
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    d = _packed_dir(spark, sf_dir)
+    if not os.path.isdir(os.path.join(d, "window.uw.n2.w8")):
+        numbered = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("doc"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        )
+        build_unordered_window_postings(numbered, d, width=8)
+    idx = open_index(spark, d)
+    assert idx.window_parts and ("uw", 8) in idx.window_parts
+    node = transform(parse("#uw:8(table row)"))
+    return compile_count(node, idx).select("doc", "tf")
+
+
 def q_pdfr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#pdfr(t1 t2) — ProximityDFRTraversal.java:45-128: PL2(c=6) unigrams
     mixed termLambda/(1-termLambda) with BiL2(c=0.05) over #od:5 bigrams."""
@@ -1429,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_sdm_topk": q_sdm,
         "fti_bm25_wand_topk": q_bm25_wand_topk,
         "fti_sdm_wand_topk": q_sdm_wand_topk,
+        "fti_uw_part_window": q_uw_part_window,
         "fti_pdfr_topk": q_pdfr,
         "fti_wsdm_topk": q_wsdm,
         "fti_wsum_topk": q_wsum,
@@ -1490,6 +1519,9 @@ def oracle_sql() -> dict[str, str]:
         # pruned kernels must be value-identical, not just rank-similar
         "fti_bm25_wand_topk": _rank_sql(_sql_bm25(BM25_TERMS)),
         "fti_sdm_wand_topk": _rank_sql(_sql_sdm("fast", "table")),
+        # the part-backed #uw must be value-identical to the positional
+        # iterator semantics the relational entry grades
+        "fti_uw_part_window": SQL_UNORDERED_WINDOW,
         "fti_wsdm_topk": _rank_sql(
             _sql_sdm("fast", "table", w_uni=0.8, w_od=0.1, w_uw=0.1)
         ),
