@@ -519,6 +519,105 @@ def cmd_dump_lengths(args: argparse.Namespace) -> dict:
     return {"cmd": "dump-lengths", "rows": len(rows)}
 
 
+def cmd_dump_doc_terms(args: argparse.Namespace) -> dict:
+    """``galago dump-doc-terms`` analog (DumpDocTermsFn.java:39-51): the
+    term vector of one or more documents (by internal --iid or external
+    --eid) as CSV ``doc,term,tf`` on stderr, with per-doc maxTF / distinct
+    term count / total term count in the JSON summary."""
+    spark = _get_spark(args.cores, "galago-dump-doc-terms")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.operators.docs import doc_id
+
+    idx = open_index(spark, args.index)
+    docs = [int(i) for i in (args.iid or [])]
+    for eid in args.eid or []:
+        n = doc_id(idx, eid)
+        if n is not None:
+            docs.append(n)
+    rows = (
+        idx.postings.filter(F.col("doc").isin(docs))
+        .select("doc", "term", "tf")
+        .orderBy("doc", "term")
+        .collect()
+    )
+    stats: dict[int, dict] = {}
+    for r in rows:
+        print(f"{r['doc']},{r['term']},{r['tf']}", file=sys.stderr)
+        s = stats.setdefault(int(r["doc"]), {"max_tf": 0, "terms": 0, "total": 0})
+        s["max_tf"] = max(s["max_tf"], r["tf"])
+        s["terms"] += 1
+        s["total"] += r["tf"]
+    spark.stop()
+    return {"cmd": "dump-doc-terms", "docs": {str(d): s for d, s in stats.items()}}
+
+
+def cmd_dump_manifest(args: argparse.Namespace) -> dict:
+    """``galago dump-index-manifest`` analog (DumpIndexManifestFn.java):
+    the index manifest as JSON."""
+    import os
+
+    with open(os.path.join(args.index, "manifest.json")) as f:
+        manifest = json.load(f)
+    return {"cmd": "dump-manifest", "manifest": manifest}
+
+
+def cmd_get_docs_jsonl(args: argparse.Namespace) -> dict:
+    """``galago get-docs-jsonl`` analog (GetDocsJSONL.java:23-33): pull the
+    documents named in --input (one external name per line) as one JSON
+    object per line on stderr. One pruned names+corpus join for the whole
+    batch — not a per-id loop."""
+    spark = _get_spark(args.cores, "galago-get-docs")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.operators.docs import name_expr
+
+    with open(args.input) as f:
+        wanted = [line.strip() for line in f if line.strip()]
+    idx = open_index(spark, args.index)
+    corpus = spark.read.parquet(args.corpus)
+    named = idx.names.withColumn("name", name_expr()).select(
+        "doc", "name", "repo", "path", "commit"
+    )
+    hits = (
+        named.filter(F.col("name").isin(wanted))
+        .join(corpus, ["repo", "path", "commit"])
+        .select("doc", "name", "lang", F.col("content").alias("text"))
+        .collect()
+    )
+    for r in sorted(hits, key=lambda r: r["doc"]):
+        print(json.dumps({"id": r["name"], "doc": r["doc"], "lang": r["lang"],
+                          "text": r["text"]}), file=sys.stderr)
+    spark.stop()
+    return {"cmd": "get-docs-jsonl", "requested": len(wanted), "found": len(hits)}
+
+
+def cmd_get_rm_terms(args: argparse.Namespace) -> dict:
+    """``galago get-rm-terms`` analog (GetRMTermsFn.java:24-34): the top
+    relevance-model expansion terms for a query."""
+    spark = _get_spark(args.cores, "galago-get-rm-terms")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.prf import rm1_weighted_terms
+
+    idx = open_index(spark, args.index)
+    terms = rm1_weighted_terms(
+        args.query, idx, fb_docs=args.fb_docs, fb_terms=args.num_terms
+    )
+    for t, w in terms:
+        print(f"{t}\t{w:.6f}", file=sys.stderr)
+    spark.stop()
+    return {
+        "cmd": "get-rm-terms",
+        "query": args.query,
+        "terms": [{"term": t, "weight": w} for t, w in terms],
+    }
+
+
 def cmd_transform_query(args: argparse.Namespace) -> dict:
     """``galago transform-query`` analog (TransformQueryFn.java): print the
     post-traversal tree — the rewrite-pipeline debugging oracle."""
@@ -705,6 +804,33 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--limit", type=int, default=1000)
     dl.add_argument("--cores", type=int, default=4)
     dl.set_defaults(fn=cmd_dump_lengths)
+
+    ddt = sub.add_parser("dump-doc-terms")
+    ddt.add_argument("--index", required=True)
+    ddt.add_argument("--iid", action="append", help="internal doc id (repeatable)")
+    ddt.add_argument("--eid", action="append", help="external doc name (repeatable)")
+    ddt.add_argument("--cores", type=int, default=4)
+    ddt.set_defaults(fn=cmd_dump_doc_terms)
+
+    dm = sub.add_parser("dump-manifest")
+    dm.add_argument("--index", required=True)
+    dm.set_defaults(fn=cmd_dump_manifest)
+
+    gdj = sub.add_parser("get-docs-jsonl")
+    gdj.add_argument("--index", required=True)
+    gdj.add_argument("--corpus", required=True)
+    gdj.add_argument("--input", required=True,
+                     help="file of external names, one per line")
+    gdj.add_argument("--cores", type=int, default=4)
+    gdj.set_defaults(fn=cmd_get_docs_jsonl)
+
+    grt = sub.add_parser("get-rm-terms")
+    grt.add_argument("--index", required=True)
+    grt.add_argument("--query", required=True)
+    grt.add_argument("--num-terms", type=int, default=20)
+    grt.add_argument("--fb-docs", type=int, default=20)
+    grt.add_argument("--cores", type=int, default=4)
+    grt.set_defaults(fn=cmd_get_rm_terms)
 
     tq = sub.add_parser("transform-query")
     tq.add_argument("--query", required=True)

@@ -185,3 +185,39 @@ def test_build_window_cli(spark, corpus_and_index):
     a = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx, k=10).collect()]
     b = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx_nopart, k=10).collect()]
     assert a and a == b
+
+
+def test_dump_doc_terms_and_manifest_cli(spark, corpus_and_index):
+    _, idir = corpus_and_index
+    idx = open_index(spark, idir)
+    name = doc_name(idx, 1)
+    r = _cli(["dump-doc-terms", "--index", idir, "--iid", "0",
+              "--eid", name, "--cores", "2"])
+    assert set(r["docs"]) == {"0", "1"}
+    # oracle: distinct-term and total counts from the postings part
+    want = (
+        idx.postings.filter(F.col("doc") == 0)
+        .agg(F.count(F.lit(1)), F.sum("tf"), F.max("tf"))
+        .collect()[0]
+    )
+    assert r["docs"]["0"]["terms"] == want[0]
+    assert r["docs"]["0"]["total"] == want[1]
+    assert r["docs"]["0"]["max_tf"] == want[2]
+    m = _cli(["dump-manifest", "--index", idir])
+    assert "postings" in m["manifest"]["parts"]
+
+
+def test_get_docs_jsonl_and_rm_terms_cli(spark, corpus_and_index, tmp_path):
+    cdir, idir = corpus_and_index
+    idx = open_index(spark, idir)
+    names = [doc_name(idx, d) for d in (0, 3)]
+    f = tmp_path / "ids.txt"
+    f.write_text("\n".join(names + ["no:such@doc"]) + "\n")
+    r = _cli(["get-docs-jsonl", "--index", idir, "--corpus", cdir,
+              "--input", str(f), "--cores", "2"])
+    assert r["requested"] == 3 and r["found"] == 2
+    r = _cli(["get-rm-terms", "--index", idir, "--query", "#combine(def return)",
+              "--num-terms", "5", "--cores", "2"])
+    assert len(r["terms"]) == 5
+    ws = [t["weight"] for t in r["terms"]]
+    assert ws == sorted(ws, reverse=True) and ws[0] > 0
