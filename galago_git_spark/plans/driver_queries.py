@@ -176,8 +176,9 @@ scored AS (
   GROUP BY p.doc)"""
 
 
-def _sql_dirichlet(terms_weights: list[tuple[str, float]], mu=1500.0) -> str:
-    total = sum(w for _, w in terms_weights)
+def _sql_dirichlet(terms_weights: list[tuple[str, float]], mu=1500.0,
+                   norm: bool = True) -> str:
+    total = sum(w for _, w in terms_weights) if norm else 1.0
     tw = [(t, w / total) for t, w in terms_weights]
     terms_in = ", ".join(f"'{t}'" for t, _ in tw)
     return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
@@ -359,6 +360,146 @@ scored AS (
   FROM cand c
   LEFT JOIN ua USING (doc) LEFT JOIN ub USING (doc)
   LEFT JOIN od USING (doc) LEFT JOIN uwm USING (doc)
+  JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cf)"""
+
+
+def q_scale_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#combine:norm=false(#scale:2.0(#dirichlet(table)) #dirichlet(row))``
+    — #scale multiplies the raw child score OUTSIDE weight normalization
+    (ScaleIterator.java), distinguishable from #combine weights only with
+    norm=false; graded on absolute score values."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame(
+        "#combine:norm=false(#scale:2.0(#dirichlet(table)) #dirichlet(row))",
+        idx,
+    ))
+
+
+# #scale:2 folds into a RAW (unnormalized) weight on the dirichlet child
+SQL_SCALE_COMBINE = _rank_sql(
+    _sql_dirichlet([("table", 2.0), ("row", 1.0)], norm=False)
+)
+
+
+def q_logcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#combine:norm=false(#log-count(table))`` — LogCountIterator:
+    score = ln(tf) on matching docs."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame("#combine:norm=false(#log-count(table))", idx))
+
+
+SQL_LOGCOUNT = f"""WITH {TOKS}, {TOK},
+post AS (SELECT doc, count(*)::double AS tf FROM tok
+         WHERE term = 'table' GROUP BY doc),
+scored AS (SELECT doc, ln(tf) AS s FROM post)
+SELECT doc, score, rank FROM (
+  SELECT doc, round(s, 6) AS score,
+         row_number() OVER (ORDER BY round(s, 6) DESC, doc ASC) AS rank
+  FROM scored)
+WHERE rank <= 10"""
+
+
+def q_threshold_require(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#require(#threshold:raw=T(#combine(table)) #combine(table row))``
+    — ThresholdIterator as an indicator (on iff child score >= raw) gating
+    a ranked query through #require."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame(
+        "#require(#threshold:raw=-3.42(#combine(table)) #combine(table row))",
+        idx,
+    ))
+
+
+def _sql_threshold_require(t_gate: str, t2: str, thr: float,
+                           mu: float = 1500.0) -> str:
+    """#require(#threshold:raw=thr(#combine(t_gate)) #combine(t_gate t2)):
+    base = normalized 2-term dirichlet combine; gate = docs containing
+    t_gate whose single-term dirichlet score clears the raw threshold
+    (ThresholdIterator.java semantics: indicator on iff score >= raw)."""
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+post AS (SELECT term, doc, count(*)::double AS tf FROM tok
+         WHERE term IN ('{t_gate}', '{t2}') GROUP BY term, doc),
+ts AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+cand AS (SELECT DISTINCT doc FROM post),
+qt AS (SELECT * FROM (VALUES ('{t_gate}', 0.5::double), ('{t2}', 0.5::double)) AS q(term, w)),
+base AS (
+  SELECT c.doc,
+         sum(q.w * ln((coalesce(p.tf, 0) + {mu} * coalesce(ts.cf, 0.5) / cs.cl)
+                      / (l.length + {mu}))) AS s
+  FROM cand c CROSS JOIN qt q
+  LEFT JOIN ts ON ts.term = q.term
+  LEFT JOIN post p ON p.doc = c.doc AND p.term = q.term
+  JOIN lens l ON l.doc = c.doc CROSS JOIN cs
+  GROUP BY c.doc),
+gate AS (
+  SELECT p.doc
+  FROM post p JOIN lens l USING (doc) CROSS JOIN cs
+  CROSS JOIN (SELECT cf FROM ts WHERE term = '{t_gate}') g
+  WHERE p.term = '{t_gate}'
+    AND ln((p.tf + {mu} * (CASE WHEN g.cf > 0 THEN g.cf ELSE 0.5 END) / cs.cl)
+           / (l.length + {mu})) >= {thr}),
+scored AS (SELECT b.doc, b.s FROM base b JOIN gate USING (doc))"""
+
+
+def q_fdm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#fulldep:windowLimit=2(fast table row)`` — the full-dependence
+    expansion over three terms (FullDependenceTraversal.java: every
+    order-preserving subsequence; at windowLimit=2 the three pairs), each
+    pair contributing an ``#od:1`` and a ``#uw:8``."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame("#fulldep:windowLimit=2(fast table row)", idx))
+
+
+def _sql_fdm(t1: str, t2: str, t3: str, mu: float = 1500.0) -> str:
+    """Flattened weights: outer (0.8, 0.15, 0.05) over three inner
+    3-child combines -> each unigram 0.8/3, each od pair 0.15/3, each uw
+    pair 0.05/3."""
+    wu, wo, ww = 0.8 / 3, 0.15 / 3, 0.05 / 3
+
+    def dir_term(tf_expr: str, cf_expr: str) -> str:
+        return (
+            f"ln(({tf_expr} + {mu} * (CASE WHEN {cf_expr} > 0 THEN {cf_expr} "
+            f"ELSE 0.5 END) / cs.cl) / (l.length + {mu}))"
+        )
+
+    pairs = [("a", "b", t1, t2), ("a", "c", t1, t3), ("b", "c", t2, t3)]
+    od_ctes, uw_ctes = [], []
+    for x, y, tx, ty in pairs:
+        od_ctes.append(
+            f"od_{x}{y} AS (SELECT a.doc, "
+            f"len(list_intersect(list_transform(a.ps, p -> p + 1), b.ps))::double AS tf "
+            f"FROM p{x} a JOIN p{y} b USING (doc))"
+        )
+        uw_ctes.append(
+            f"uw_{x}{y} AS (SELECT a.doc, ({_sql_uw_pair(tx, ty, 8)})::double AS tf "
+            f"FROM p{x} a JOIN p{y} b USING (doc))"
+        )
+    comp = (
+        [(f"u{x}", wu) for x in "abc"]
+        + [(f"od_{x}{y}", wo) for x, y, _, _ in pairs]
+        + [(f"uw_{x}{y}", ww) for x, y, _, _ in pairs]
+    )
+    cf_sel = ", ".join(
+        f"(SELECT coalesce(sum(tf), 0) FROM {n}) AS cf_{n}" for n, _ in comp
+    )
+    score = " + ".join(
+        f"{w} * {dir_term(f'coalesce({n}.tf, 0)', f'cf.cf_{n}')}" for n, w in comp
+    )
+    joins = " ".join(f"LEFT JOIN {n} USING (doc)" for n, _ in comp)
+    return f"""WITH {TOKS}, {POS}, {LENS}, {CS},
+pa AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = '{t1}' GROUP BY doc),
+pb AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = '{t2}' GROUP BY doc),
+pc AS (SELECT doc, list(pos ORDER BY pos) AS ps FROM pos WHERE term = '{t3}' GROUP BY doc),
+ua AS (SELECT doc, len(ps)::double AS tf FROM pa),
+ub AS (SELECT doc, len(ps)::double AS tf FROM pb),
+uc AS (SELECT doc, len(ps)::double AS tf FROM pc),
+{', '.join(od_ctes)},
+{', '.join(uw_ctes)},
+cf AS (SELECT {cf_sel}),
+cand AS (SELECT doc FROM pa UNION SELECT doc FROM pb UNION SELECT doc FROM pc),
+scored AS (
+  SELECT c.doc, {score} AS s
+  FROM cand c {joins}
   JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cf)"""
 
 
@@ -1458,6 +1599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_bm25_wand_topk": q_bm25_wand_topk,
         "fti_sdm_wand_topk": q_sdm_wand_topk,
         "fti_uw_part_window": q_uw_part_window,
+        "fti_fdm_topk": q_fdm,
+        "fti_scale_topk": q_scale_combine,
+        "fti_logcount_topk": q_logcount,
+        "fti_threshold_topk": q_threshold_require,
         "fti_pdfr_topk": q_pdfr,
         "fti_wsdm_topk": q_wsdm,
         "fti_wsum_topk": q_wsum,
@@ -1522,6 +1667,12 @@ def oracle_sql() -> dict[str, str]:
         # the part-backed #uw must be value-identical to the positional
         # iterator semantics the relational entry grades
         "fti_uw_part_window": SQL_UNORDERED_WINDOW,
+        "fti_fdm_topk": _rank_sql(_sql_fdm("fast", "table", "row")),
+        "fti_scale_topk": SQL_SCALE_COMBINE,
+        "fti_logcount_topk": SQL_LOGCOUNT,
+        "fti_threshold_topk": _rank_sql(
+            _sql_threshold_require("table", "row", -3.42)
+        ),
         "fti_wsdm_topk": _rank_sql(
             _sql_sdm("fast", "table", w_uni=0.8, w_od=0.1, w_uw=0.1)
         ),

@@ -37,6 +37,7 @@ ALIASES = {
     "linear": "jm",
     "count-sum": "countsum",
     "counts-sum": "countsum",
+    "log-count": "logcount",
 }
 
 SCORERS = {"bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field", "bm25rf", "logcount", "prior", "boost", "log", "scale", "bm25fcomb", "logprobnot", "bool"}
