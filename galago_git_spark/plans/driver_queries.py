@@ -410,6 +410,73 @@ def q_threshold_require(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def q_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#rm:fbDocs=10:fbTerm=20:fbOrigWeight=0.25(fast table)`` — the
+    full relevance-model pipeline (RelevanceModel1.java:137-170 +
+    RelevanceModel3.expand): first-pass Dirichlet retrieval, log-to-
+    posterior normalization, expansion-term weighting
+    sum(posterior * tf/len), top-20 terms (w desc, term asc), then the
+    0.25/0.75 re-query — graded end-to-end against a DuckDB oracle that
+    recomputes the whole chain dynamically (no hardcoded expansion)."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame(
+        "#rm:fbDocs=10:fbTerm=20:fbOrigWeight=0.25(fast table)", idx
+    ))
+
+
+def _sql_rm3(t1: str, t2: str, fb_docs: int = 10, fb_terms: int = 20,
+             orig_w: float = 0.25, mu: float = 1500.0) -> str:
+    """Flattened second-pass weights: orig terms orig_w/2 each (inner
+    combine normalizes 1,1 -> 0.5), expansion terms
+    (1-orig_w) * w_i / sum(w)."""
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+postq AS (SELECT term, doc, count(*)::double AS tf FROM tok
+          WHERE term IN ('{t1}', '{t2}') GROUP BY term, doc),
+tsq AS (SELECT term, sum(tf) AS cf FROM postq GROUP BY term),
+cand1 AS (SELECT DISTINCT doc FROM postq),
+qt1 AS (SELECT * FROM (VALUES ('{t1}', 0.5::double), ('{t2}', 0.5::double)) AS q(term, w)),
+s1 AS (
+  SELECT c.doc,
+         sum(q.w * ln((coalesce(p.tf, 0) + {mu} * coalesce(tsq.cf, 0.5) / cs.cl)
+                      / (l.length + {mu}))) AS s
+  FROM cand1 c CROSS JOIN qt1 q
+  LEFT JOIN tsq ON tsq.term = q.term
+  LEFT JOIN postq p ON p.doc = c.doc AND p.term = q.term
+  JOIN lens l ON l.doc = c.doc CROSS JOIN cs
+  GROUP BY c.doc),
+top AS (SELECT doc, s FROM s1 ORDER BY s DESC, doc ASC LIMIT {fb_docs}),
+mx AS (SELECT max(s) AS m FROM top),
+z AS (SELECT m + ln(sum(exp(s - m))) AS lse FROM top CROSS JOIN mx GROUP BY m),
+posterior AS (SELECT doc, exp(s - z.lse) AS p FROM top CROSS JOIN z),
+fbtf AS (SELECT doc, term, count(*)::double AS tf FROM tok
+         WHERE doc IN (SELECT doc FROM top) GROUP BY doc, term),
+rmw AS (
+  SELECT f.term, sum(pp.p * f.tf / l.length) AS w
+  FROM fbtf f JOIN posterior pp USING (doc) JOIN lens l USING (doc)
+  WHERE f.term NOT IN ('{t1}', '{t2}')
+  GROUP BY f.term
+  ORDER BY w DESC, f.term ASC LIMIT {fb_terms}),
+wsum AS (SELECT sum(w) AS tw FROM rmw),
+qt2 AS (
+  SELECT term, {orig_w / 2}::double AS w
+  FROM (VALUES ('{t1}'), ('{t2}')) v(term)
+  UNION ALL
+  SELECT term, {1 - orig_w} * w / (SELECT tw FROM wsum) FROM rmw),
+post2 AS (SELECT term, doc, count(*)::double AS tf FROM tok
+          WHERE term IN (SELECT term FROM qt2) GROUP BY term, doc),
+ts2 AS (SELECT term, sum(tf) AS cf FROM post2 GROUP BY term),
+cand AS (SELECT DISTINCT doc FROM post2),
+scored AS (
+  SELECT c.doc,
+         sum(q.w * ln((coalesce(p.tf, 0) + {mu} * coalesce(ts2.cf, 0.5) / cs.cl)
+                      / (l.length + {mu}))) AS s
+  FROM cand c CROSS JOIN qt2 q
+  LEFT JOIN ts2 ON ts2.term = q.term
+  LEFT JOIN post2 p ON p.doc = c.doc AND p.term = q.term
+  JOIN lens l ON l.doc = c.doc CROSS JOIN cs
+  GROUP BY c.doc)"""
+
+
 def _sql_threshold_require(t_gate: str, t2: str, thr: float,
                            mu: float = 1500.0) -> str:
     """#require(#threshold:raw=thr(#combine(t_gate)) #combine(t_gate t2)):
@@ -1603,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_scale_topk": q_scale_combine,
         "fti_logcount_topk": q_logcount,
         "fti_threshold_topk": q_threshold_require,
+        "fti_rm3_topk": q_rm3,
         "fti_pdfr_topk": q_pdfr,
         "fti_wsdm_topk": q_wsdm,
         "fti_wsum_topk": q_wsum,
@@ -1673,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
         "fti_threshold_topk": _rank_sql(
             _sql_threshold_require("table", "row", -3.42)
         ),
+        "fti_rm3_topk": _rank_sql(_sql_rm3("fast", "table")),
         "fti_wsdm_topk": _rank_sql(
             _sql_sdm("fast", "table", w_uni=0.8, w_od=0.1, w_uw=0.1)
         ),
