@@ -410,6 +410,67 @@ def q_threshold_require(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def q_od_part_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#od:1(fast table)`` resolved through the contiguous 2-gram PART
+    (WindowRewriteTraversal fast path) — value-checked against the same
+    positional oracle as ``fti_ordered_window``."""
+    import os
+
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.index.window import build_window_postings
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    d = _packed_dir(spark, sf_dir)
+    if not os.path.isdir(os.path.join(d, "window.od1.2")):
+        numbered = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("doc"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        )
+        build_window_postings(numbered, d, n=2)
+    idx = open_index(spark, d)
+    assert idx.window_parts and 2 in idx.window_parts
+    node = transform(parse("#od:1(fast table)"))
+    return compile_count(node, idx).select("doc", "tf")
+
+
+def q_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#bigram(fast table)`` — the width-1-restricted alias
+    (BigramIterator.java:15-20) through the parser+alias pipeline; counts
+    must equal the ``#od:1`` oracle."""
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir))
+    node = transform(parse("#bigram(fast table)"))
+    return compile_count(node, idx).select("doc", "tf")
+
+
+def q_booltocount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#dirichlet(#bool-to-count(#band(table row)))`` — the boolean
+    plane lifted into the count plane (BinaryCountIterator.java:52-57:
+    tf=1 on matching docs) and scored."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame(
+        "#combine:norm=false(#dirichlet(#bool-to-count(#band(table row))))",
+        idx,
+    ))
+
+
+def _sql_booltocount(t1: str, t2: str, mu: float = 1500.0) -> str:
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+m AS (SELECT doc FROM tok WHERE term = '{t1}'
+      INTERSECT SELECT doc FROM tok WHERE term = '{t2}'),
+cf AS (SELECT count(*)::double AS c FROM m),
+scored AS (
+  SELECT m.doc,
+         ln((1 + {mu} * (CASE WHEN cf.c > 0 THEN cf.c ELSE 0.5 END) / cs.cl)
+            / (l.length + {mu})) AS s
+  FROM m JOIN lens l USING (doc) CROSS JOIN cs CROSS JOIN cf)"""
+
+
 def q_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``#rm:fbDocs=10:fbTerm=20:fbOrigWeight=0.25(fast table)`` — the
     full relevance-model pipeline (RelevanceModel1.java:137-170 +
@@ -1671,6 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_logcount_topk": q_logcount,
         "fti_threshold_topk": q_threshold_require,
         "fti_rm3_topk": q_rm3,
+        "fti_od_part_window": q_od_part_window,
+        "fti_bigram_window": q_bigram,
+        "fti_booltocount_topk": q_booltocount,
         "fti_pdfr_topk": q_pdfr,
         "fti_wsdm_topk": q_wsdm,
         "fti_wsum_topk": q_wsum,
@@ -1742,6 +1806,9 @@ def oracle_sql() -> dict[str, str]:
             _sql_threshold_require("table", "row", -3.42)
         ),
         "fti_rm3_topk": _rank_sql(_sql_rm3("fast", "table")),
+        "fti_od_part_window": SQL_ORDERED_WINDOW,
+        "fti_bigram_window": SQL_ORDERED_WINDOW,
+        "fti_booltocount_topk": _rank_sql(_sql_booltocount("table", "row")),
         "fti_wsdm_topk": _rank_sql(
             _sql_sdm("fast", "table", w_uni=0.8, w_od=0.1, w_uw=0.1)
         ),
