@@ -89,3 +89,48 @@ def test_orderedN_matches_greedy_loop(batch, width):
         for r in batch
     ]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# build-side unordered pair counting (index/window._uw_pair_stream) must
+# equal the query-side kernel on arbitrary token streams — the invariant
+# that makes the #uw:w part rewrite result-identical
+# --------------------------------------------------------------------------
+
+def _uw_pair_counts_buildside(toks: list[str], width: int) -> dict:
+    """Reference copy of the _uw_pair_stream inner loop (one doc)."""
+    cnt: dict = {}
+    length = len(toks)
+    for i in range(length - 1):
+        t = toks[i]
+        seen = {t}
+        for j in range(i + 1, min(i + width, length)):
+            q = toks[j]
+            if q in seen:
+                continue
+            seen.add(q)
+            key = (t, q) if t < q else (q, t)
+            cnt[key] = cnt.get(key, 0) + 1
+    return cnt
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from("abcde"), min_size=0, max_size=40),
+    width=st.integers(min_value=2, max_value=12),
+)
+def test_uw_part_counts_match_query_kernel(toks, width):
+    from galago_git_spark.functions.windows import unordered2_counts
+
+    built = _uw_pair_counts_buildside(toks, width)
+    pos = {}
+    for p, t in enumerate(toks, start=1):  # 1-based engine positions
+        pos.setdefault(t, []).append(p)
+    terms = sorted(pos)
+    for i, t1 in enumerate(terms):
+        for t2 in terms[i + 1:]:
+            want = int(
+                unordered2_counts([pos[t1]], [pos[t2]], width)[0]
+            )
+            got = built.get((t1, t2), 0)
+            assert got == want, (toks, width, t1, t2, got, want)
