@@ -618,6 +618,32 @@ def cmd_get_rm_terms(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_operator_help(args: argparse.Namespace) -> dict:
+    """``galago operator-help`` analog (OperatorHelpFn.java:24-40): dump
+    every registered operator — aliases, count ops, scorers (built-in AND
+    user-registered via register_scorer), score-subtree combiners — from
+    the live registries, no Spark session needed."""
+    from galago_git_spark.query import traversals as tv
+    from galago_git_spark.query.executor import _CUSTOM_SCORERS, _SCORE_SUBTREES
+
+    builtin_scorers = sorted(tv.SCORERS - set(_CUSTOM_SCORERS))
+    out = {
+        "cmd": "operator-help",
+        "aliases": dict(sorted(tv.ALIASES.items())),
+        "count_operators": sorted(tv.COUNT_OPS),
+        "scorers": builtin_scorers,
+        "custom_scorers": sorted(_CUSTOM_SCORERS),
+        "score_subtrees": sorted(_SCORE_SUBTREES),
+    }
+    for kind in ("aliases",):
+        for k, v in out[kind].items():
+            print(f"#{k} -> #{v}", file=sys.stderr)
+    for kind in ("count_operators", "scorers", "score_subtrees"):
+        for k in out[kind]:
+            print(f"#{k}", file=sys.stderr)
+    return out
+
+
 def cmd_transform_query(args: argparse.Namespace) -> dict:
     """``galago transform-query`` analog (TransformQueryFn.java): print the
     post-traversal tree — the rewrite-pipeline debugging oracle."""
@@ -831,6 +857,9 @@ def main(argv: list[str] | None = None) -> int:
     grt.add_argument("--fb-docs", type=int, default=20)
     grt.add_argument("--cores", type=int, default=4)
     grt.set_defaults(fn=cmd_get_rm_terms)
+
+    oh = sub.add_parser("operator-help")
+    oh.set_defaults(fn=cmd_operator_help)
 
     tq = sub.add_parser("transform-query")
     tq.add_argument("--query", required=True)

@@ -221,3 +221,12 @@ def test_get_docs_jsonl_and_rm_terms_cli(spark, corpus_and_index, tmp_path):
     assert len(r["terms"]) == 5
     ws = [t["weight"] for t in r["terms"]]
     assert ws == sorted(ws, reverse=True) and ws[0] > 0
+
+
+def test_operator_help_cli():
+    r = _cli(["operator-help"])
+    assert r["aliases"]["uw"] == "unordered"
+    assert "ordered" in r["count_operators"]
+    assert "bm25" in r["scorers"] and "dirichlet" in r["scorers"]
+    assert "combine" in r["score_subtrees"]
+    assert r["custom_scorers"] == []
