@@ -217,12 +217,23 @@ def build_unordered_window_postings(
 
 
 def load_window_parts(spark: SparkSession, index_dir: str) -> dict:
-    """Window postings DataFrames for every window part on disk.
+    """Window postings DataFrames for every window part on disk that is
+    safe for the AUTOMATIC query rewrite — parts built with
+    ``frequency_threshold > 1`` drop rare grams, so rewriting a query
+    through them would silently return empty for pruned windows; they are
+    skipped here (still queryable explicitly via their parquet path).
+
     Keys: ``n`` (int) for contiguous ``window.od1.{n}`` parts,
     ``("uw", width)`` for unordered pair parts ``window.uw.n2.w{width}``."""
     out: dict = {}
     if not os.path.isdir(index_dir):
         return out
+    thresholds: dict[str, int] = {}
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for pname, meta in json.load(f).get("parts", {}).items():
+                thresholds[pname] = int(meta.get("frequency_threshold", 0) or 0)
     for name in os.listdir(index_dir):
         key = None
         if name.startswith("window.od1."):
@@ -235,7 +246,7 @@ def load_window_parts(spark: SparkSession, index_dir: str) -> dict:
                 key = ("uw", int(name.rsplit("w", 1)[1]))
             except ValueError:
                 continue
-        if key is None:
+        if key is None or thresholds.get(name, 0) > 1:
             continue
         p = os.path.join(index_dir, name, "postings")
         if os.path.exists(p):

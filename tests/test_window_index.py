@@ -62,16 +62,18 @@ def test_frequency_threshold_prunes(spark, tmp_path):
     d = str(tmp_path / "idx")
     build_index(corpus, d, positions=False)
     numbered = assign_doc_ids(corpus)
-    build_window_postings(numbered, d, n=2, frequency_threshold=5)
-    idx = open_index(spark, d)
+    part_dir = build_window_postings(numbered, d, n=2, frequency_threshold=5)
     cfs = (
-        idx.window_parts[2]
+        spark.read.parquet(f"{part_dir}/postings")
         .groupBy("term")
         .agg(F.sum("tf").alias("cf"))
         .agg(F.min("cf"))
         .collect()[0][0]
     )
     assert cfs >= 5
+    # thresholded parts are explicitly queryable but NOT rewrite-safe
+    idx = open_index(spark, d)
+    assert not idx.window_parts
 
 
 def test_uw_rewrite_equals_positional_loop(spark, windowed_index):
@@ -131,3 +133,19 @@ def test_sdm_identical_with_uw_part(spark, windowed_index):
     a = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx, k=10).collect()]
     b = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx_nopart, k=10).collect()]
     assert a == b
+
+
+def test_thresholded_part_excluded_from_rewrite(spark, tmp_path):
+    """A part built with frequency_threshold > 1 drops rare grams; the
+    automatic rewrite must NOT use it (silent empty results otherwise)."""
+    corpus = synthetic_code_corpus(spark, n_docs=30, seed=9)
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, positions=True)
+    numbered = assign_doc_ids(corpus)
+    build_window_postings(numbered, d, n=2, frequency_threshold=5)
+    build_unordered_window_postings(numbered, d, width=8, frequency_threshold=5)
+    idx = open_index(spark, d)
+    assert not idx.window_parts  # both parts thresholded -> not rewrite-safe
+    # and queries still produce the positional-loop answer
+    node = transform(parse("#uw:8(def return)"))
+    assert compile_count(node, idx).count() > 0
