@@ -303,7 +303,7 @@ def cmd_build_window(args: argparse.Namespace) -> dict:
     t0 = time.perf_counter()
     if args.unordered:
         part_dir = build_unordered_window_postings(
-            numbered, args.index, width=args.width,
+            numbered, args.index, width=args.width, n=args.n,
             frequency_threshold=args.threshold,
         )
     else:
@@ -746,9 +746,10 @@ def main(argv: list[str] | None = None) -> int:
     bw.add_argument("--input", required=True,
                     help="parquet corpus dir (same as build --input), or synthetic:N")
     bw.add_argument("--index", required=True)
-    bw.add_argument("--n", type=int, default=2, help="ordered n-gram size")
+    bw.add_argument("--n", type=int, default=2,
+                    help="window arity: ordered gram size / unordered tuple size")
     bw.add_argument("--unordered", action="store_true",
-                    help="build the unordered pair part instead (uses --width)")
+                    help="build the unordered window part instead (uses --n/--width)")
     bw.add_argument("--width", type=int, default=8)
     bw.add_argument("--threshold", type=int, default=0,
                     help="drop windows with collection frequency below this")

@@ -112,6 +112,68 @@ def _uw_pair_stream(width: int):
     return fn
 
 
+def _uw_tuple_stream(width: int, n: int):
+    """mapInPandas kernel for n>=3: per doc, exact ``#uw:width`` counts for
+    every sorted n-tuple of distinct terms, computed by running the SAME
+    n-ary merge loop the query side uses
+    (``functions/windows.unordered_window_extents``,
+    ``UnorderedWindowIterator.java:28-82``) — identity by construction.
+
+    Candidate tuples: a matched window's min position is an occurrence of
+    one of its terms and every term lies within ``[min, min+width)``, so
+    every matched tuple is {toks[i]} + an (n-1)-subset of the distinct
+    OTHER terms in ``toks[i:i+width]`` for some i. Enumerating those
+    anchored subsets is O(len * C(width-1, n-1)) per doc — the same
+    combinatorics as the reference's WindowProducer; unmatched candidates
+    are dropped by tf=0. Build once, amortize over the query log."""
+    from itertools import combinations
+
+    from galago_git_spark.functions.windows import (
+        positions_to_extents,
+        unordered_window_extents,
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tok_lists = _tokenize_series(pdf["content"]).to_list()
+            docs = pdf["doc"].to_numpy()
+            rows_doc, rows_term, rows_tf = [], [], []
+            for d, toks in zip(docs, tok_lists):
+                length = len(toks)
+                if length < n:
+                    continue
+                pos: dict[str, list[int]] = {}
+                for p, t in enumerate(toks):
+                    pos.setdefault(t, []).append(p + 1)  # engine 1-based
+                cands: set[tuple[str, ...]] = set()
+                for i in range(length):
+                    others = sorted(
+                        {t for t in toks[i + 1 : i + width] if t != toks[i]}
+                    )
+                    if len(others) < n - 1:
+                        continue
+                    anchor = toks[i]
+                    for combo in combinations(others, n - 1):
+                        cands.add(tuple(sorted((anchor,) + combo)))
+                for combo in sorted(cands):
+                    children = [
+                        positions_to_extents(pos[t]) for t in combo
+                    ]
+                    tf = len(unordered_window_extents(children, width))
+                    if tf > 0:
+                        rows_doc.append(d)
+                        rows_term.append(SEP.join(combo))
+                        rows_tf.append(tf)
+            if rows_doc:
+                yield pd.DataFrame(
+                    {"doc": rows_doc, "term": rows_term, "tf": rows_tf}
+                )
+
+    return fn
+
+
 def _write_window_part(
     spark: SparkSession,
     grams: DataFrame,
@@ -195,24 +257,27 @@ def build_unordered_window_postings(
     numbered_docs: DataFrame,
     index_dir: str,
     width: int = 8,
+    n: int = 2,
     frequency_threshold: int = 0,
     num_partitions: int | None = None,
 ) -> str:
-    """Unordered pair-window part (``#uw:width`` over two distinct bare
-    terms becomes a direct posting lookup). The analog of ``galago
-    build-window --ordered=false --n=2 --width=w``
-    (``BuildWindowIndex.java:301-305`` part naming ``uw.n2.w{w}``), counted
-    with query-iterator semantics — see :func:`_uw_pair_stream`."""
+    """Unordered window part (``#uw:width`` over ``n`` distinct bare terms
+    becomes a direct posting lookup). The analog of ``galago build-window
+    --ordered=false --n=N --width=w`` (``BuildWindowIndex.java:301-305``
+    part naming ``uw.nN.w{w}``), counted with query-iterator semantics —
+    see :func:`_uw_pair_stream` (n=2 fast path) and
+    :func:`_uw_tuple_stream` (n>=3, exact n-ary merge loop)."""
     spark = numbered_docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t0 = time.time()
+    stream = _uw_pair_stream(width) if n == 2 else _uw_tuple_stream(width, n)
     grams = numbered_docs.select("doc", "content").mapInPandas(
-        _uw_pair_stream(width), schema="doc long, term string, tf long"
+        stream, schema="doc long, term string, tf long"
     )
     return _write_window_part(
-        spark, grams, index_dir, f"window.uw.n2.w{width}",
-        {"n": 2, "width": width}, frequency_threshold, num_partitions, t0,
+        spark, grams, index_dir, f"window.uw.n{n}.w{width}",
+        {"n": n, "width": width}, frequency_threshold, num_partitions, t0,
     )
 
 
@@ -224,7 +289,10 @@ def load_window_parts(spark: SparkSession, index_dir: str) -> dict:
     skipped here (still queryable explicitly via their parquet path).
 
     Keys: ``n`` (int) for contiguous ``window.od1.{n}`` parts,
-    ``("uw", width)`` for unordered pair parts ``window.uw.n2.w{width}``."""
+    ``("uw", width)`` for unordered pair parts ``window.uw.n2.w{width}``,
+    ``("uw", n, width)`` for n>=3 tuple parts ``window.uw.n{n}.w{width}``."""
+    import re
+
     out: dict = {}
     if not os.path.isdir(index_dir):
         return out
@@ -241,11 +309,11 @@ def load_window_parts(spark: SparkSession, index_dir: str) -> dict:
                 key = int(name.rsplit(".", 1)[1])
             except ValueError:
                 continue
-        elif name.startswith("window.uw.n2.w"):
-            try:
-                key = ("uw", int(name.rsplit("w", 1)[1]))
-            except ValueError:
-                continue
+        else:
+            m = re.fullmatch(r"window\.uw\.n(\d+)\.w(\d+)", name)
+            if m:
+                un, uw = int(m.group(1)), int(m.group(2))
+                key = ("uw", uw) if un == 2 else ("uw", un, uw)
         if key is None or thresholds.get(name, 0) > 1:
             continue
         p = os.path.join(index_dir, name, "postings")

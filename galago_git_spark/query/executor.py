@@ -283,19 +283,20 @@ def _window_part_rewrite(
 
     terms = [str(c.default_param) for c in node.children]
     n = len(terms)
+    uw_key = ("uw", width) if n == 2 else ("uw", n, width)
     if op == "ordered" and width == 1 and n in index.window_parts:
         gram = SEP.join(terms)
         part = index.window_parts[n]
     elif (
         op == "unordered"
-        and n == 2
-        and len(set(terms)) == 2
-        and ("uw", width) in index.window_parts
+        and n >= 2
+        and len(set(terms)) == n
+        and uw_key in index.window_parts
     ):
-        # unordered pair counts are symmetric in the children, so the part
-        # keys on the lexically sorted pair (WindowProducer.java:120-127)
+        # unordered counts are symmetric in the children, so the part
+        # keys on the lexically sorted tuple (WindowProducer.java:120-127)
         gram = SEP.join(sorted(terms))
-        part = index.window_parts[("uw", width)]
+        part = index.window_parts[uw_key]
     else:
         return None
     return (

@@ -149,3 +149,58 @@ def test_thresholded_part_excluded_from_rewrite(spark, tmp_path):
     # and queries still produce the positional-loop answer
     node = transform(parse("#uw:8(def return)"))
     assert compile_count(node, idx).count() > 0
+
+
+@pytest.fixture(scope="module")
+def tuple_windowed_index(spark, tmp_path_factory):
+    """Index with the FULL parts tier for 3-term dependence models:
+    od1.2, od1.3, uw.n2.w8, uw.n3.w12."""
+    corpus = synthetic_code_corpus(spark, n_docs=120, seed=21)
+    d = str(tmp_path_factory.mktemp("tupwin") / "idx")
+    build_index(corpus, d, positions=True)
+    numbered = assign_doc_ids(corpus)
+    build_window_postings(numbered, d, n=2)
+    build_window_postings(numbered, d, n=3)
+    build_unordered_window_postings(numbered, d, width=8, n=2)
+    build_unordered_window_postings(numbered, d, width=12, n=3)
+    return d
+
+
+def test_uw3_rewrite_equals_positional_loop(spark, tuple_windowed_index):
+    idx = open_index(spark, tuple_windowed_index)
+    assert ("uw", 3, 12) in idx.window_parts
+    node = transform(parse("#uw:12(def return class)"))
+    via_part = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node, idx).select("doc", "tf").collect()
+    }
+    plan = compile_count(node, idx)._jdf.queryExecution().toString()
+    assert "window.uw.n3.w12" in plan
+    idx_nopart = open_index(spark, tuple_windowed_index)
+    idx_nopart.window_parts = None
+    via_loop = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node, idx_nopart).select("doc", "tf").collect()
+    }
+    assert via_loop, "fixture must have 3-term co-occurrences"
+    assert via_part == via_loop
+    # child order must not matter (sorted tuple key)
+    node_r = transform(parse("#uw:12(class def return)"))
+    via_r = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node_r, idx).select("doc", "tf").collect()
+    }
+    assert via_r == via_part
+
+
+def test_fulldep_identical_on_full_parts_tier(spark, tuple_windowed_index):
+    """#fulldep over 3 terms: with od1.2/od1.3/uw.n2.w8/uw.n3.w12 built,
+    every window child resolves to a part — ranking must equal the
+    part-less positional evaluation exactly."""
+    idx = open_index(spark, tuple_windowed_index)
+    idx_nopart = open_index(spark, tuple_windowed_index)
+    idx_nopart.window_parts = None
+    q = "#fulldep(def return class)"
+    a = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx, k=10).collect()]
+    b = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx_nopart, k=10).collect()]
+    assert a and a == b

@@ -134,3 +134,45 @@ def test_uw_part_counts_match_query_kernel(toks, width):
             )
             got = built.get((t1, t2), 0)
             assert got == want, (toks, width, t1, t2, got, want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=30),
+    width=st.integers(min_value=3, max_value=14),
+)
+def test_uw3_part_candidates_complete(toks, width):
+    """The anchored-subset candidate enumeration in _uw_tuple_stream must
+    find EVERY triple the n-ary kernel matches (and count identically)."""
+    from itertools import combinations
+
+    from galago_git_spark.functions.windows import (
+        positions_to_extents,
+        unordered_window_extents,
+    )
+
+    # rebuild the stream's per-doc logic
+    pos = {}
+    for p, t in enumerate(toks):
+        pos.setdefault(t, []).append(p + 1)
+    cands = set()
+    for i in range(len(toks)):
+        others = sorted({t for t in toks[i + 1 : i + width] if t != toks[i]})
+        if len(others) < 2:
+            continue
+        for combo in combinations(others, 2):
+            cands.add(tuple(sorted((toks[i],) + combo)))
+    part_counts = {}
+    for combo in cands:
+        tf = len(unordered_window_extents(
+            [positions_to_extents(pos[t]) for t in combo], width
+        ))
+        if tf > 0:
+            part_counts[combo] = tf
+    # brute force over ALL distinct triples in the doc
+    terms = sorted(pos)
+    for combo in combinations(terms, 3):
+        tf = len(unordered_window_extents(
+            [positions_to_extents(pos[t]) for t in combo], width
+        ))
+        assert part_counts.get(combo, 0) == tf, (toks, width, combo)
