@@ -125,7 +125,13 @@ def _uw_tuple_stream(width: int, n: int):
     OTHER terms in ``toks[i:i+width]`` for some i. Enumerating those
     anchored subsets is O(len * C(width-1, n-1)) per doc — the same
     combinatorics as the reference's WindowProducer; unmatched candidates
-    are dropped by tf=0. Build once, amortize over the query log."""
+    are dropped by tf=0. Build once, amortize over the query log.
+
+    Cost profile (measured, sf0.01): n=3 w=12 is ~40 ms/doc and ~1k tuple
+    rows/doc — inherently combinatorial, like the reference tool. Intended
+    for targeted builds with ``frequency_threshold`` (which prunes the
+    part but then disables the automatic rewrite) or over filtered
+    corpora; the n=2 parts are the default scale path."""
     from itertools import combinations
 
     from galago_git_spark.functions.windows import (
@@ -267,6 +273,13 @@ def build_unordered_window_postings(
     part naming ``uw.nN.w{w}``), counted with query-iterator semantics —
     see :func:`_uw_pair_stream` (n=2 fast path) and
     :func:`_uw_tuple_stream` (n>=3, exact n-ary merge loop)."""
+    if width < 2:
+        raise ValueError(
+            "unordered window parts need width >= 2 (width -1 / #intersect "
+            "is whole-document and stays on the positional path)"
+        )
+    if n < 2:
+        raise ValueError("unordered window parts need n >= 2")
     spark = numbered_docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
