@@ -71,6 +71,7 @@ def cmd_build(args: argparse.Namespace) -> dict:
         packed=args.packed,
         block_size=args.block_size,
         bucket_bits=args.bucket_bits,
+        id_col=args.id_col,
     )
     build_s = time.perf_counter() - t0
     packed_s = round(
@@ -299,7 +300,15 @@ def cmd_build_window(args: argparse.Namespace) -> dict:
         docs = synthetic_code_corpus(spark, n_docs=n, seed=args.seed)
     else:
         docs = spark.read.parquet(args.input)
-    numbered = assign_doc_ids(docs)
+    if args.id_col:
+        # must match the ids of an index built with the same --id-col
+        # passthrough, or the part rewrite would attribute tfs to the
+        # wrong documents
+        from pyspark.sql import functions as F
+
+        numbered = docs.withColumn("doc", F.col(args.id_col).cast("long"))
+    else:
+        numbered = assign_doc_ids(docs)
     t0 = time.perf_counter()
     if args.unordered:
         part_dir = build_unordered_window_postings(
@@ -626,7 +635,11 @@ def cmd_operator_help(args: argparse.Namespace) -> dict:
     from galago_git_spark.query import traversals as tv
     from galago_git_spark.query.executor import _CUSTOM_SCORERS, _SCORE_SUBTREES
 
-    builtin_scorers = sorted(tv.SCORERS - set(_CUSTOM_SCORERS))
+    # tv.SCORERS mixes leaf scorers with score-subtree combiners (scale,
+    # log, ...) — list the combiners only under score_subtrees
+    builtin_scorers = sorted(
+        tv.SCORERS - set(_CUSTOM_SCORERS) - set(_SCORE_SUBTREES)
+    )
     out = {
         "cmd": "operator-help",
         "aliases": dict(sorted(tv.ALIASES.items())),
@@ -715,6 +728,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--block-size", type=int, default=512)
     b.add_argument("--bucket-bits", type=int, default=12)
+    b.add_argument("--id-col", default=None,
+                   help="use this column as the doc id verbatim instead of "
+                        "deterministic numbering")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")
@@ -755,6 +771,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop windows with collection frequency below this")
     bw.add_argument("--seed", type=int, default=42)
     bw.add_argument("--cores", type=int, default=8)
+    bw.add_argument("--id-col", default=None,
+                    help="must match the --id-col the index was built with")
     bw.set_defaults(fn=cmd_build_window)
 
     dq = sub.add_parser("doc")

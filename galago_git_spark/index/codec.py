@@ -117,5 +117,8 @@ def decode_positions_block(buf: bytes, counts: np.ndarray) -> np.ndarray:
     starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
     base = np.zeros(len(starts), dtype=np.uint64)
     if len(starts) > 1:
-        base[1:] = cs[starts[1:] - 1]
+        s = starts[1:]
+        # a LEADING zero-count doc gives start 0 for its successor — its
+        # base is 0, not cs[-1] (the -1 index would wrap to the last gap)
+        base[1:] = np.where(s > 0, cs[np.maximum(s, 1) - 1], 0)
     return cs - np.repeat(base, cnts)

@@ -271,7 +271,14 @@ def ivf_centroids(
     e = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qvec")
     )
+    # centroids live driver-side between iterations (n_cells * dim longs):
+    # one seed collect, then ONE assignment scan + ONE (cell, dim) agg per
+    # Lloyd step — no re-collect of driver-built literals
+    current = {r["cent_id"]: list(r["cvec"]) for r in cents.collect()}
     for _ in range(iterations):
+        cents = spark.createDataFrame(
+            sorted(current.items()), "cent_id long, cvec array<long>"
+        )
         assign = _assign_to(e, cents)
         means = (
             e.join(assign, "id")
@@ -288,14 +295,11 @@ def ivf_centroids(
             )
             .select(F.col("cell").alias("cent_id"), "cvec")
         )
-        # materialize to driver literals: n_cells rows of dim longs —
-        # breaks the per-iteration lineage and keeps the broadcast shape
-        rows = means.collect()
-        updated = {r["cent_id"]: list(r["cvec"]) for r in rows}
-        prev = {r["cent_id"]: list(r["cvec"]) for r in cents.collect()}
-        merged = [(cid, updated.get(cid, vec)) for cid, vec in sorted(prev.items())]
-        cents = spark.createDataFrame(merged, "cent_id long, cvec array<long>")
-    return cents
+        for r in means.collect():  # empty cells keep their previous centroid
+            current[r["cent_id"]] = list(r["cvec"])
+    return spark.createDataFrame(
+        sorted(current.items()), "cent_id long, cvec array<long>"
+    )
 
 
 def ivf_assign(

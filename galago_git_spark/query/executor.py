@@ -251,13 +251,15 @@ def compile_count(
             F.sort_array(F.collect_list("p")).alias("positions"),
         )
     if op == "require":
+        # positions pass through verbatim -> propagate need_positions so a
+        # positions-consuming ancestor never sees a part-rewritten child
         ind = compile_indicator(node.children[0], index)
-        return compile_count(node.children[1], index).join(
+        return compile_count(node.children[1], index, need_positions).join(
             ind.select("doc"), "doc", "left_semi"
         )
     if op == "reject":
         ind = compile_indicator(node.children[0], index)
-        return compile_count(node.children[1], index).join(
+        return compile_count(node.children[1], index, need_positions).join(
             ind.select("doc"), "doc", "left_anti"
         )
     raise ValueError(f"unsupported count operator: #{op}")
@@ -560,6 +562,19 @@ def _scorer_column(
 # hook (FeatureFactory.java:157-206, the `operators` global parameter maps
 # operator names to user classes). Here the "class" is a column builder.
 _CUSTOM_SCORERS: dict = {}
+# names a user registration may never take over (count ops, combiners, and
+# every alias the parser/traversals already claim)
+_BUILTIN_OPERATOR_NAMES = frozenset(
+    {
+        "bm25", "dirichlet", "jm", "pl2", "inl2", "bil2", "bm25field",
+        "bm25rf", "logcount", "prior", "counts", "extents", "text",
+        "ordered", "unordered", "synonym", "mincount", "countsum", "inside",
+        "null", "booltocount", "require", "reject", "combine", "wsum",
+        "scale", "log", "boost", "threshold", "logprobnot", "bool", "all",
+        "any", "not", "sdm", "fulldep", "wsdm", "prms", "rm", "rm3", "prf",
+        "stopword", "ss", "stopstructure", "bm25fcomb", "extentor", "field",
+    }
+)
 
 
 def register_scorer(name: str, column_fn) -> None:
@@ -573,18 +588,26 @@ def register_scorer(name: str, column_fn) -> None:
     The analog of FeatureFactory's external operator lookup
     (``FeatureFactory.java:157-206``): pure registration, no global
     rewrite; the traversal pipeline learns the name so implicit casting
-    treats it as a scorer."""
+    treats it as a scorer. Built-in operator names cannot be shadowed."""
     from galago_git_spark.query import traversals
 
+    if name in _BUILTIN_OPERATOR_NAMES or (
+        name in traversals.SCORERS and name not in _CUSTOM_SCORERS
+    ):
+        raise ValueError(f"cannot shadow built-in operator #{name}")
     _CUSTOM_SCORERS[name] = column_fn
     traversals.SCORERS.add(name)
 
 
 def unregister_scorer(name: str) -> None:
+    """Remove a scorer registered via :func:`register_scorer`. Built-in
+    names are never touched (only names actually in the custom registry
+    are discarded from the traversal scorer set)."""
     from galago_git_spark.query import traversals
 
-    _CUSTOM_SCORERS.pop(name, None)
-    traversals.SCORERS.discard(name)
+    if name in _CUSTOM_SCORERS:
+        del _CUSTOM_SCORERS[name]
+        traversals.SCORERS.discard(name)
 
 
 def _is_scorer(node: Node) -> bool:
@@ -614,6 +637,15 @@ def score_frame(
     need to rank on rounded scores. ``op_repls`` is the user operator
     aliasing map (ReplaceOperatorTraversal's ``opRepls`` parameter)."""
     node = parse(query) if isinstance(query, str) else query
+    if op_repls:
+        # ReplaceOperatorTraversal runs FIRST in the reference pipeline —
+        # before RelevanceModelTraversal — so user aliasing must apply
+        # before the rm/rm3/prf dispatch below (and exactly once)
+        from copy import deepcopy
+
+        from galago_git_spark.query.traversals import user_replace_operators
+
+        node = user_replace_operators(deepcopy(node), op_repls)
     if node.operator in ("rm", "rm3", "prf"):
         # RelevanceModelTraversal (traversal #1): runs a first-pass query,
         # expands, and re-enters — needs the index, so it lives here
@@ -629,7 +661,7 @@ def score_frame(
             fb_terms=node.get_int("fbTerm", 100),
             default_scorer=default_scorer,
         )
-    node = transform(node, default_scorer, op_repls=op_repls)
+    node = transform(node, default_scorer)  # op_repls already applied above
     if node.operator in ("require", "reject"):
         # RequireIterator / RejectIterator over a scored child: the filter
         # indicator gates the ranked result (semi/anti join) — supports

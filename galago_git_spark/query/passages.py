@@ -312,13 +312,15 @@ def passage_score_frame(
             # #scale:f(S) is a linear factor on the subtree score — fold it
             # into the passage weight (ScaleIterator analog)
             _expand(w * c.get_float("default", 1.0), c.children[0])
-        elif _is_scorer(c):
-            flat.append((w, c))
         elif c.operator in _UNSUPPORTED:
+            # checked BEFORE _is_scorer: #prior matches both, and its
+            # document-plane score has no passage analog
             raise ValueError(
                 f"#{c.operator} is not supported inside passage retrieval "
                 "(only linear #combine/#scale trees of scorers)"
             )
+        elif _is_scorer(c):
+            flat.append((w, c))
         else:
             flat.append((w, Node(default_scorer, {}, [c])))
 

@@ -47,19 +47,37 @@ class SearchService:
             spark.read.parquet(corpus_path) if corpus_path else None
         )
         self.default_scorer = default_scorer
+        self.reader = None  # packed-tier session handle, when available
+        if os.path.isdir(os.path.join(index_dir, "blocks")):
+            from galago_git_spark.query.wand import PackedReader
+
+            self.reader = PackedReader(spark, index_dir)
 
     # -- retrieval ---------------------------------------------------------
 
     def search(self, q: str, k: int = 10, scorer: str | None = None,
-               snippets: bool = True) -> dict:
+               snippets: bool = True, wand: bool = False) -> dict:
         """SearchResult shape (Search.java:55-77): items carry rank,
         identifier (external name), score, metadata, summary (highlighted
-        snippet when a corpus is attached)."""
+        snippet when a corpus is attached). ``wand=True`` routes eligible
+        queries (BM25 flat combines, bare-term #sdm) to the packed
+        block-max tier when the index has one — same routing as
+        ``cli search --wand``."""
         from galago_git_spark.operators.docs import name_expr
         from galago_git_spark.query.executor import execute
+        from galago_git_spark.query.parser import parse
+        from galago_git_spark.query.traversals import transform
 
         scorer = scorer or self.default_scorer
-        rows = execute(q, self.index, k=k, default_scorer=scorer).collect()
+        node = parse(q)
+        tnode = transform(node, scorer)  # transformed once: display + terms
+        if wand and self.reader is not None:
+            from galago_git_spark.cli import _run_one
+
+            rows = _run_one(self.spark, self.index, self.index_dir, q, k,
+                            scorer, True, reader=self.reader)
+        else:
+            rows = execute(node, self.index, k=k, default_scorer=scorer).collect()
         names = {
             r["doc"]: r
             for r in self.index.names.withColumn("name", name_expr())
@@ -68,7 +86,7 @@ class SearchService:
         }
         summaries = {}
         if snippets and self.corpus is not None and rows:
-            summaries = self._summaries(q, [r["doc"] for r in rows])
+            summaries = self._summaries(tnode, [r["doc"] for r in rows])
         items = []
         for r in rows:
             nm = names.get(r["doc"])
@@ -85,22 +103,20 @@ class SearchService:
             })
         return {
             "queryAsString": q,
-            "transformedQuery": self.transform_query(q)["transformed"],
+            "transformedQuery": str(tnode),
             "items": items,
         }
 
-    def _summaries(self, q: str, docs: list[int]) -> dict:
+    def _summaries(self, tnode, docs: list[int]) -> dict:
         from galago_git_spark.operators.snippets import snippets_frame
         from galago_git_spark.query.nodes import Node, is_term_leaf
-        from galago_git_spark.query.parser import parse
-        from galago_git_spark.query.traversals import transform
 
         def leaf_terms(n: Node) -> list[str]:
             if is_term_leaf(n):
                 return [str(n.default_param)]
             return [t for c in n.children for t in leaf_terms(c)]
 
-        terms = sorted(set(leaf_terms(transform(parse(q)))))
+        terms = sorted(set(leaf_terms(tnode)))
         texts = (
             self.index.names.filter(F.col("doc").isin(docs))
             .select("doc", "repo", "path", "commit")
@@ -193,6 +209,7 @@ def make_handler(service: SearchService):
                         one("q", ""), k=int(one("k", "10")),
                         scorer=one("scorer"),
                         snippets=one("snippets", "true") != "false",
+                        wand=one("wand", "false") == "true",
                     ))
                 elif u.path == "/document":
                     d = service.document(

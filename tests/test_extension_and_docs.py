@@ -230,3 +230,14 @@ def test_operator_help_cli():
     assert "bm25" in r["scorers"] and "dirichlet" in r["scorers"]
     assert "combine" in r["score_subtrees"]
     assert r["custom_scorers"] == []
+
+
+def test_register_scorer_cannot_shadow_builtin(spark):
+    with pytest.raises(ValueError, match="shadow"):
+        register_scorer("bm25", lambda *a: None)
+    with pytest.raises(ValueError, match="shadow"):
+        register_scorer("combine", lambda *a: None)
+    # unregistering a never-registered builtin name must be a no-op
+    from galago_git_spark.query import traversals as tv
+    unregister_scorer("bm25")
+    assert "bm25" in tv.SCORERS

@@ -177,6 +177,23 @@ def test_positions_block_roundtrip():
     assert decode_positions_block(b"", np.array([], dtype=np.int64)).size == 0
 
 
+def test_positions_block_roundtrip_zero_counts():
+    """Leading, mid, and trailing zero-count docs must round-trip (the
+    leading case previously wrapped to cs[-1] in the decoder)."""
+    from galago_git_spark.index.codec import (
+        decode_positions_block,
+        encode_positions_block,
+    )
+
+    for rows in ([[], [5, 7]], [[3], [], [9, 11]], [[2, 4], []],
+                 [[], [], [1]], [[], [10], [], [12, 20], []]):
+        counts = np.array([len(r) for r in rows], dtype=np.int64)
+        flat = np.array([p for r in rows for p in r], dtype=np.uint64)
+        buf = encode_positions_block(flat, counts)
+        out = decode_positions_block(buf, counts)
+        assert list(out) == list(flat), rows
+
+
 @pytest.fixture(scope="module")
 def packed_pos_index(spark, tmp_path_factory):
     index_dir = str(tmp_path_factory.mktemp("packedpos") / "idx")

@@ -120,3 +120,16 @@ def test_passage_unsupported_score_op_raises(pidx):
             "#combine(#log(#bm25(data)) #bm25(table))",
             idx, k=5, size=SIZE, shift=SHIFT,
         )
+
+
+def test_passage_prior_raises_clear_unsupported(spark):
+    """#prior matches _is_scorer too — the _UNSUPPORTED check must win
+    (document-plane priors have no passage analog)."""
+    idx = inline_index(
+        synthetic_code_corpus(spark, n_docs=10, seed=3).selectExpr(
+            "row_number() over (order by path) - 1 as doc_id",
+            "content as text",
+        )
+    )
+    with pytest.raises(ValueError, match="not supported inside passage"):
+        passage_topk("#combine(#prior() #dirichlet(def))", idx, k=3).collect()

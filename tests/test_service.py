@@ -102,3 +102,32 @@ def test_concurrent_searches(server):
         ))
     assert all(o["items"] for o in outs)
     assert [o["queryAsString"] for o in outs] == queries
+
+
+def test_search_wand_route_on_packed_index(spark, tmp_path_factory):
+    """/search?wand=true routes eligible BM25 combines to the packed
+    block-max tier (reader attached) and matches the relational ranking;
+    on a part-less service the flag degrades gracefully (covered by the
+    main fixture, which has no packed layer)."""
+    root = tmp_path_factory.mktemp("svcwand")
+    cdir, idir = str(root / "corpus"), str(root / "idx")
+    corpus = synthetic_code_corpus(spark, n_docs=80, seed=11)
+    corpus.write.parquet(cdir)
+    build_index(spark.read.parquet(cdir), idir, positions=True, packed=True,
+                block_size=32, bucket_bits=7)
+    service = SearchService(spark, idir, corpus_path=cdir)
+    assert service.reader is not None
+    srv, _ = serve_in_thread(service)
+    host, port = srv.server_address
+    base = f"http://{host}:{port}"
+    try:
+        q = "#combine:scorer=bm25(def return)"
+        a = _get(base, "/search", q=q, k=5, snippets="false", wand="true")
+        b = _get(base, "/search", q=q, k=5, snippets="false")
+        assert [i["document"] for i in a["items"]] == [
+            i["document"] for i in b["items"]
+        ]
+        assert a["items"], "wand route must return results"
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -204,3 +204,19 @@ def test_fulldep_identical_on_full_parts_tier(spark, tuple_windowed_index):
     a = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx, k=10).collect()]
     b = [(r["doc"], round(r["score"], 9)) for r in execute(q, idx_nopart, k=10).collect()]
     assert a and a == b
+
+
+def test_uw_part_bypassed_inside_require_under_window(spark, windowed_index):
+    """need_positions must flow through #require/#reject: a part-rewritten
+    child (null positions) inside a positions-consuming ancestor would
+    silently zero the window counts."""
+    idx = open_index(spark, windowed_index)
+    q = "#uw:20(#require(#band(def) #od:1(def return)) class)"
+    node = transform(parse(q))
+    plan = compile_count(node, idx)._jdf.queryExecution().toString()
+    assert "window.od1.2" not in plan  # positional path under the window
+    idx_nopart = open_index(spark, windowed_index)
+    idx_nopart.window_parts = None
+    a = {(r["doc"], r["tf"]) for r in compile_count(node, idx).select("doc", "tf").collect()}
+    b = {(r["doc"], r["tf"]) for r in compile_count(node, idx_nopart).select("doc", "tf").collect()}
+    assert a == b
