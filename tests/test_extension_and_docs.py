@@ -241,3 +241,35 @@ def test_register_scorer_cannot_shadow_builtin(spark):
     from galago_git_spark.query import traversals as tv
     unregister_scorer("bm25")
     assert "bm25" in tv.SCORERS
+
+
+def test_build_window_id_col_alignment(spark, tmp_path):
+    """Window parts built with --id-col over a passthrough-id index must
+    attribute tfs to the same doc ids the postings use (review finding:
+    silent renumbering misalignment)."""
+    from galago_git_spark.index.build import assign_doc_ids
+
+    corpus = synthetic_code_corpus(spark, n_docs=40, seed=17)
+    # stable external ids NOT equal to the rank order (shifted by 1000)
+    with_ids = assign_doc_ids(corpus).withColumn(
+        "myid", F.col("doc") + F.lit(1000)
+    ).drop("doc")
+    cdir = str(tmp_path / "corpus")
+    with_ids.write.parquet(cdir)
+    idir = str(tmp_path / "idx")
+    _cli(["build", "--input", cdir, "--index", idir, "--positions",
+          "--id-col", "myid", "--cores", "2"])
+    _cli(["build-window", "--input", cdir, "--index", idir, "--unordered",
+          "--width", "8", "--id-col", "myid", "--cores", "2"])
+    idx = open_index(spark, idir)
+    assert ("uw", 8) in idx.window_parts
+    # ids in the part are the passthrough ids
+    assert idx.window_parts[("uw", 8)].agg(F.min("doc")).collect()[0][0] >= 1000
+    node = transform(parse("#uw:8(def return)"))
+    from galago_git_spark.query.executor import compile_count
+
+    idx_nopart = open_index(spark, idir)
+    idx_nopart.window_parts = None
+    a = {(r["doc"], r["tf"]) for r in compile_count(node, idx).select("doc", "tf").collect()}
+    b = {(r["doc"], r["tf"]) for r in compile_count(node, idx_nopart).select("doc", "tf").collect()}
+    assert a and a == b
