@@ -893,6 +893,116 @@ SELECT doc, 1.0 AS score FROM tok WHERE term IN ('data', 'table')
 GROUP BY doc HAVING count(DISTINCT term) = 2"""
 
 
+def q_boost_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#boost:beta(#band(...)) inside #combine — BoostingIterator.java:
+    emits beta on docs matching the boolean child, 0 elsewhere; combined
+    half-and-half with a Dirichlet unigram."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(
+        score_frame("#combine(#dirichlet(table) #boost:1.5(#band(row scan)))", idx)
+    )
+
+
+SQL_BOOST = f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+post AS (SELECT doc, count(*)::double AS tf FROM tok
+         WHERE term = 'table' GROUP BY doc),
+ts AS (SELECT sum(tf) AS cf FROM post),
+band AS (SELECT doc FROM tok WHERE term IN ('row', 'scan')
+         GROUP BY doc HAVING count(DISTINCT term) = 2),
+cand AS (SELECT doc FROM post UNION SELECT doc FROM band),
+scored AS (
+  SELECT c.doc,
+         0.5 * ln((coalesce(p.tf, 0) + 1500.0 * coalesce(ts.cf, 0.5) / cs.cl)
+                  / (l.length + 1500.0))
+       + 0.5 * (CASE WHEN b.doc IS NOT NULL THEN 1.5 ELSE 0.0 END) AS s
+  FROM cand c
+  LEFT JOIN post p ON p.doc = c.doc
+  LEFT JOIN band b ON b.doc = c.doc
+  JOIN lens l ON l.doc = c.doc
+  CROSS JOIN cs CROSS JOIN ts)"""
+
+
+def q_logprobnot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#logprobnot(#dirichlet(t)) — LogProbNotIterator: ln(1 - exp(p)),
+    the probability the doc does NOT generate the term; combined with a
+    positive unigram (penalizes docs where 'scan' is likely)."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(
+        score_frame("#combine(#dirichlet(table) #logprobnot(#dirichlet(scan)))", idx)
+    )
+
+
+SQL_LOGPROBNOT = f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+post AS (SELECT term, doc, count(*)::double AS tf FROM tok
+         WHERE term IN ('table', 'scan') GROUP BY term, doc),
+ts AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+cand AS (SELECT DISTINCT doc FROM post),
+scored AS (
+  SELECT c.doc,
+         0.5 * ln((coalesce(pt.tf, 0) + 1500.0 * coalesce(tst.cf, 0.5) / cs.cl)
+                  / (l.length + 1500.0))
+       + 0.5 * ln(1 - (coalesce(ps.tf, 0) + 1500.0 * coalesce(tss.cf, 0.5) / cs.cl)
+                      / (l.length + 1500.0)) AS s
+  FROM cand c
+  LEFT JOIN post pt ON pt.doc = c.doc AND pt.term = 'table'
+  LEFT JOIN post ps ON ps.doc = c.doc AND ps.term = 'scan'
+  LEFT JOIN ts tst ON tst.term = 'table'
+  LEFT JOIN ts tss ON tss.term = 'scan'
+  JOIN lens l ON l.doc = c.doc
+  CROSS JOIN cs)"""
+
+
+def q_null_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#null() as a scorer child (NullExtentIterator.java) — matches no
+    doc, so its Dirichlet leg scores pure background mass (cf=0 -> the
+    0.5 epsilon) on every candidate of the other leg."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(
+        score_frame("#combine(#dirichlet(table) #dirichlet(#null()))", idx)
+    )
+
+
+SQL_NULL_SMOOTHING = f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+post AS (SELECT doc, count(*)::double AS tf FROM tok
+         WHERE term = 'table' GROUP BY doc),
+ts AS (SELECT sum(tf) AS cf FROM post),
+scored AS (
+  SELECT p.doc,
+         0.5 * ln((p.tf + 1500.0 * coalesce(ts.cf, 0.5) / cs.cl)
+                  / (l.length + 1500.0))
+       + 0.5 * ln((1500.0 * 0.5 / cs.cl) / (l.length + 1500.0)) AS s
+  FROM post p
+  JOIN lens l ON l.doc = p.doc
+  CROSS JOIN cs CROSS JOIN ts)"""
+
+
+def q_extentor_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``data.(lead,tail)`` — multi-field restriction
+    (StructuredQuery.java:149-160 dotted-field syntax -> #inside over an
+    #extentor): occurrences of ``data`` inside the union of the lead/tail
+    extents, overlapping extents counted once per position."""
+    from galago_git_spark.query.executor import compile_count
+    from galago_git_spark.query.parser import parse
+    from galago_git_spark.query.traversals import transform
+
+    idx = inline_index(_docs(spark, sf_dir), fields=True)
+    node = transform(parse("data.(lead,tail)"))
+    return compile_count(node, idx).select("doc", "tf")
+
+
+SQL_EXTENTOR = f"""WITH {TOKS}, {POS}, {LENS},
+fext AS (
+  SELECT doc, 1 AS b, least(length, 10) + 1 AS e FROM lens WHERE length > 0
+  UNION ALL
+  SELECT doc, greatest(1, length - 10 + 1) AS b, length + 1 AS e
+  FROM lens WHERE length > 0),
+contained AS (
+  SELECT DISTINCT p.doc, p.pos
+  FROM pos p JOIN fext f ON f.doc = p.doc
+  WHERE p.term = 'data' AND p.pos >= f.b AND p.pos + 1 <= f.e)
+SELECT doc, count(*) AS tf FROM contained GROUP BY doc"""
+
+
 def q_bm25rf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#bm25rf — Robertson TSV relevance-feedback weights
     (scoring/BM25RFScoringIterator.java:29-63): per-term constants on
@@ -1744,6 +1854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_boolean_band": q_boolean_band,
         "fti_boolean_bnot": q_boolean_bnot,
         "fti_bool_score": q_bool_score,
+        "fti_boost_topk": q_boost_topk,
+        "fti_logprobnot_topk": q_logprobnot_topk,
+        "fti_null_smoothing": q_null_smoothing,
+        "fti_extentor_count": q_extentor_count,
         "fti_bm25rf_topk": q_bm25rf_topk,
         # #stopword removes 'the'/'of' (inquery list) before scoring
         # (StopWordTraversal.java:47-82): identical to BM25 over the kept terms
@@ -1819,6 +1933,10 @@ def oracle_sql() -> dict[str, str]:
         "fti_boolean_band": SQL_BAND,
         "fti_boolean_bnot": SQL_BNOT,
         "fti_bool_score": SQL_BOOL_SCORE,
+        "fti_boost_topk": _rank_sql(SQL_BOOST),
+        "fti_logprobnot_topk": _rank_sql(SQL_LOGPROBNOT),
+        "fti_null_smoothing": _rank_sql(SQL_NULL_SMOOTHING),
+        "fti_extentor_count": SQL_EXTENTOR,
         "fti_bm25rf_topk": SQL_BM25RF,
         "fti_stopword_topk": _rank_sql(_sql_bm25(BM25_TERMS)),
         "fti_reject_filter": SQL_REJECT,

@@ -137,3 +137,29 @@ def test_ivf_refined_centroids_deterministic_across_partitioning(spark):
         for r in ivf_centroids(emb.repartition(5), n_cells=8, iterations=2).collect()
     }
     assert a == b
+
+
+def test_cosine_arrow_matches_jvm_impl(emb):
+    # the Arrow matmul path must be value-identical (to float tolerance)
+    # and rank-identical to the pure-Catalyst higher-order expression
+    from galago_git_spark.operators.simsearch import cosine_topk
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != emb.orderBy("vec_id").first()["vec_id"])
+    a = cosine_topk(rest, qvec, k=20, impl="arrow").collect()
+    j = cosine_topk(rest, qvec, k=20, impl="jvm").collect()
+    assert [r["id"] for r in a] == [r["id"] for r in j]
+    for ra, rj in zip(a, j):
+        assert abs(ra["cosine"] - rj["cosine"]) < 1e-9
+
+
+def test_ivf_assign_arrow_matches_jvm_impl(emb):
+    # exact int64 matmul + argmax must reproduce the crossJoin+window
+    # assignment cell-for-cell (same dot, same lowest-cent_id tie-break)
+    from galago_git_spark.operators.simsearch import _assign_to, _quantize, _seed_centroids
+
+    e = emb.select(F.col("vec_id").alias("id"), _quantize(F.col("embedding")).alias("qvec"))
+    cents = _seed_centroids(emb, 16, "vec_id", "embedding")
+    a = {(r["id"], r["cell"]) for r in _assign_to(e, cents, impl="arrow").collect()}
+    j = {(r["id"], r["cell"]) for r in _assign_to(e, cents, impl="jvm").collect()}
+    assert a == j
