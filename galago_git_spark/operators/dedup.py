@@ -55,16 +55,21 @@ def shingles(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc, shingle) — distinct word n-grams per doc, built natively:
-    transform over a sequence of start offsets, then explode."""
+    transform over a sequence of start offsets, dedup *inside the array*
+    (``array_distinct``: per-row, no shuffle — a global ``.distinct()``
+    here would shuffle the widest intermediate of the whole dedup
+    pipeline), then explode."""
     t = doc_terms(docs, doc_col, text_col)
     sh = F.when(
         F.size("terms") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("terms") - n),
-            lambda i: F.concat_ws(" ", F.slice("terms", i + 1, n)),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("terms") - n),
+                lambda i: F.concat_ws(" ", F.slice("terms", i + 1, n)),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return t.select("doc", F.explode(sh).alias("shingle")).distinct()
+    return t.select("doc", F.explode(sh).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
