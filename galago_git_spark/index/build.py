@@ -304,12 +304,12 @@ def build_index(
             toks.join(ext, "doc")
             .filter((F.col("pos") >= F.col("begin")) & (F.col("pos") + 1 <= F.col("end")))
             .select("field", "term", "doc", "pos")
-            .distinct()
+            # collect_set dedups positions matched by overlapping extents of
+            # the same field INSIDE the aggregation — one shuffle instead of
+            # a distinct-then-groupBy pair on the containment-join output
             .groupBy("field", "term", "doc")
-            .agg(
-                F.count(F.lit(1)).alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
+            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+            .withColumn("tf", F.size("positions").cast("long"))
         )
         (
             part.repartitionByRange(num_term_partitions, "field", "term", "doc")
