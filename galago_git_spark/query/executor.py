@@ -244,11 +244,16 @@ def compile_count(
             pos.join(fext, "doc")
             .filter((F.col("p") >= F.col("begin")) & (F.col("p") + 1 <= F.col("end")))
             .select("doc", "p")
-            .distinct()
         )
-        return contained.groupBy("doc").agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list("p")).alias("positions"),
+        # collect_set dedups a position contained in several overlapping
+        # field extents inside the one aggregation shuffle (was a separate
+        # distinct shuffle before the groupBy)
+        return (
+            contained.groupBy("doc")
+            .agg(F.sort_array(F.collect_set("p")).alias("positions"))
+            .select(
+                "doc", F.size("positions").cast("long").alias("tf"), "positions"
+            )
         )
     if op == "require":
         # positions pass through verbatim -> propagate need_positions so a
