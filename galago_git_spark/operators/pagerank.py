@@ -36,15 +36,20 @@ def pagerank(
 ) -> DataFrame:
     """nodes: (doc); edges: (src, dst). Returns (doc, score)."""
     nodes = nodes.select("doc").distinct()
+    # the loop joins edges/outdeg every iteration: persist them once so
+    # ~max_iter rounds don't re-scan (and re-dedup) the link source each
+    # time — the difference between O(1) and O(iterations) source reads
     edges = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))  # no self-links
         .distinct()
+        .persist()
     )
     n_docs = nodes.count()
     if n_docs == 0:
+        edges.unpersist()
         return nodes.withColumn("score", F.lit(0.0))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
 
     scores = nodes.withColumn("score", F.lit(1.0 / n_docs)).localCheckpoint()
     walk = 1.0 - lambda_
@@ -95,4 +100,7 @@ def pagerank(
         else:
             scores = new_scores
 
-    return scores.select("doc", "score")
+    out = scores.select("doc", "score").localCheckpoint()  # eager: safe to unpersist inputs
+    edges.unpersist()
+    outdeg.unpersist()
+    return out
