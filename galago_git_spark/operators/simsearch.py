@@ -344,9 +344,12 @@ def ivf_centroids(
     if iterations <= 0:
         return cents
     spark = embeddings.sparkSession
+    # persist the quantized corpus once: every Lloyd step scans it twice
+    # (assignment + the mean agg join) and would otherwise re-read and
+    # re-quantize the source per iteration
     e = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qvec")
-    )
+    ).persist()
     # centroids live driver-side between iterations (n_cells * dim longs):
     # one seed collect, then ONE assignment scan + ONE (cell, dim) agg per
     # Lloyd step — no re-collect of driver-built literals
@@ -373,6 +376,7 @@ def ivf_centroids(
         )
         for r in means.collect():  # empty cells keep their previous centroid
             current[r["cent_id"]] = list(r["cvec"])
+    e.unpersist()
     return spark.createDataFrame(
         sorted(current.items()), "cent_id long, cvec array<long>"
     )
