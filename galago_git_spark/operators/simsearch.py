@@ -127,6 +127,30 @@ def cosine_pairs(
     )
 
 
+def _bucket_expr(q_col: Column, n_planes: int, dim: int, seed: str) -> Column:
+    """Sign-LSH bucket id of a 1e3-quantized vector column: one bit per
+    deterministic hyperplane. plane[p][d] = (md5_long(seed_p_d) % 2001)
+    - 1000 — constant-folded by Catalyst; the dot is exact int64."""
+    bucket = None
+    for p in range(n_planes):
+        coeffs = F.array(
+            *[
+                (
+                    md5_long(F.lit(f"{seed}_{p}_{d}")) % F.lit(2001) - F.lit(1000)
+                ).cast("long")
+                for d in range(dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(q_col, coeffs, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -140,28 +164,10 @@ def lsh_hyperplane_buckets(
     integer in [-1000, 1000]; embeddings are quantized to
     round(x * 1000)::long, so each dot product is exact int arithmetic —
     bit-identical across engines and cluster sizes."""
-    qv = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("q")
     )
-    e = embeddings.select(F.col(id_col).alias("id"), qv.alias("q"))
-    bucket = None
-    for p in range(n_planes):
-        coeffs = F.array(
-            *[
-                (
-                    md5_long(F.lit(f"{seed}_{p}_{d}")) % F.lit(2001) - F.lit(1000)
-                ).cast("long")
-                for d in range(dim)
-            ]
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col("q"), coeffs, lambda x, c: x * c),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
-        bucket = bit if bucket is None else bucket + bit
-    return e.select("id", bucket.cast("int").alias("bucket"))
+    return e.select("id", _bucket_expr(F.col("q"), n_planes, dim, seed).alias("bucket"))
 
 
 def lsh_cosine_pairs(
@@ -184,15 +190,24 @@ def lsh_cosine_pairs(
     Approximate by design: cross-bucket pairs are missed; more tables
     raise recall. Deterministic (md5 planes) across engines and cluster
     sizes."""
-    tables = [
-        lsh_hyperplane_buckets(
-            embeddings, n_planes, dim, id_col, vec_col, seed=f"lsht{t}"
-        ).withColumn("tbl", F.lit(t))
-        for t in range(n_tables)
-    ]
-    buckets = tables[0]
-    for t in tables[1:]:
-        buckets = buckets.unionByName(t)
+    # ALL tables' bucket ids are pure expressions over the same quantized
+    # vector, so compute them in ONE corpus scan (array + posexplode)
+    # instead of one scan per table — identical ids to per-table
+    # lsh_hyperplane_buckets calls (parity-tested)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("q")
+    )
+    buckets = e.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket_expr(F.col("q"), n_planes, dim, f"lsht{t}")
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "bucket"),
+    )
     groups = (
         buckets.groupBy("tbl", "bucket")
         .agg(F.sort_array(F.collect_set("id")).alias("ds"))

@@ -163,3 +163,25 @@ def test_ivf_assign_arrow_matches_jvm_impl(emb):
     a = {(r["id"], r["cell"]) for r in _assign_to(e, cents, impl="arrow").collect()}
     j = {(r["id"], r["cell"]) for r in _assign_to(e, cents, impl="jvm").collect()}
     assert a == j
+
+
+def test_multitable_single_scan_buckets_match_per_table_calls(emb):
+    # the fused array+posexplode bucket computation in lsh_cosine_pairs
+    # must equal per-table lsh_hyperplane_buckets invocations
+    from galago_git_spark.operators.simsearch import _bucket_expr, _quantize
+
+    e = emb.select(F.col("vec_id").alias("id"), _quantize(F.col("embedding")).alias("q"))
+    fused = {
+        (r["id"], r["tbl"], r["bucket"])
+        for r in e.select(
+            "id",
+            F.posexplode(
+                F.array(*[_bucket_expr(F.col("q"), 4, 64, f"lsht{t}") for t in range(4)])
+            ).alias("tbl", "bucket"),
+        ).collect()
+    }
+    per_table = set()
+    for t in range(4):
+        for r in lsh_hyperplane_buckets(emb, 4, 64, seed=f"lsht{t}").collect():
+            per_table.add((r["id"], t, r["bucket"]))
+    assert fused == per_table
