@@ -82,9 +82,14 @@ def rm1_weighted_terms(
         spark.createDataFrame(posteriors, "doc long, posterior double")
     )
     exclude = _query_terms(transform(node, default_scorer)) | (stopwords or set())
+    # explicit isin on the fb docs: a broadcast join alone doesn't push the
+    # doc set into the parquet scans, an In filter does (row-group pruning
+    # on both parts instead of full scans joined against 20 rows)
+    fb_doc_ids = [int(d) for d, _ in posteriors]
     weighted = (
-        index.postings.join(post_df, "doc")
-        .join(index.lengths, "doc")
+        index.postings.filter(F.col("doc").isin(fb_doc_ids))
+        .join(post_df, "doc")
+        .join(index.lengths.filter(F.col("doc").isin(fb_doc_ids)), "doc")
         .filter(~F.col("term").isin(list(exclude)) if exclude else F.lit(True))
         .groupBy("term")
         .agg(
