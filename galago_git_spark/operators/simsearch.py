@@ -107,6 +107,37 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
 
 
+def _pair_cosine_frame(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, va, vb) -> (id_a, id_b, cosine >= threshold) via a
+    batch einsum per Arrow batch — the row-paired analog of
+    :func:`cosine_scores_arrow` (the higher-order ``cosine_col`` form is
+    interpreted per element)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            b = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            cos = np.einsum("ij,ij->i", a, b) / (
+                np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"][keep],
+                    "id_b": pdf["id_b"][keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return pairs.select("id_a", "id_b", "va", "vb").mapInPandas(
+        score, schema="id_a long, id_b long, cosine double"
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -118,12 +149,8 @@ def cosine_pairs(
     :func:`lsh_hyperplane_buckets` and join within buckets."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    return _pair_cosine_frame(
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")), threshold
     )
 
 
@@ -231,13 +258,7 @@ def lsh_cosine_pairs(
     )
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    return _pair_cosine_frame(cand.join(ea, "id_a").join(eb, "id_b"), threshold)
 
 
 def lsh_cosine_topk(
