@@ -178,6 +178,38 @@ def _bucket_expr(q_col: Column, n_planes: int, dim: int, seed: str) -> Column:
     return bucket.cast("int")
 
 
+def _plane_matrix(n_planes: int, dim: int, seed: str):
+    """(dim, n_planes) int64 hyperplane coefficients — the driver-side
+    mirror of ``md5_long(lit(f"{seed}_{p}_{d}")) % 2001 - 1000`` (same
+    construction as :func:`~galago_git_spark.operators.dedup.minhash_coeffs`:
+    hashlib md5 reproduces the engine/oracle hash bit-for-bit)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                int(hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[:15], 16)
+                % 2001
+                - 1000
+                for p in range(n_planes)
+            ]
+            for d in range(dim)
+        ],
+        dtype=np.int64,
+    )
+
+
+def _quantize_np(m):
+    """numpy mirror of ``_quantize`` (Spark round = half away from zero;
+    numpy's default rounds half to even, so do it sign-aware)."""
+    import numpy as np
+
+    v = m * 1000.0
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -185,12 +217,41 @@ def lsh_hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "lsh",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, bucket): bucket = sign-bit string over deterministic
     hyperplanes. plane[p][d] = (md5_long(seed_p_d) % 2001) - 1000, an
     integer in [-1000, 1000]; embeddings are quantized to
     round(x * 1000)::long, so each dot product is exact int arithmetic —
-    bit-identical across engines and cluster sizes."""
+    bit-identical across engines and cluster sizes.
+
+    ``impl="arrow"`` (default) computes every plane's sign bit in one
+    exact int64 matmul per Arrow batch; ``impl="jvm"`` keeps the
+    constant-folded Catalyst expression (n_planes x dim interpreted
+    lambda calls per row). Bucket ids are identical (parity-tested)."""
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        planes = _plane_matrix(n_planes, dim, seed)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+        def bucketize(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                dots = _quantize_np(m) @ planes  # exact int64
+                bucket = ((dots > 0).astype(np.int64) * weights).sum(axis=1)
+                yield pd.DataFrame(
+                    {"id": pdf[id_col], "bucket": bucket.astype(np.int32)}
+                )
+
+        return embeddings.select(id_col, vec_col).mapInPandas(
+            bucketize, schema="id long, bucket int"
+        )
     e = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("q")
     )
@@ -217,23 +278,40 @@ def lsh_cosine_pairs(
     Approximate by design: cross-bucket pairs are missed; more tables
     raise recall. Deterministic (md5 planes) across engines and cluster
     sizes."""
-    # ALL tables' bucket ids are pure expressions over the same quantized
-    # vector, so compute them in ONE corpus scan (array + posexplode)
-    # instead of one scan per table — identical ids to per-table
-    # lsh_hyperplane_buckets calls (parity-tested)
-    e = embeddings.select(
-        F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("q")
-    )
-    buckets = e.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    _bucket_expr(F.col("q"), n_planes, dim, f"lsht{t}")
-                    for t in range(n_tables)
-                ]
+    # ALL tables' bucket ids come from ONE corpus scan and one exact int64
+    # matmul per Arrow batch (planes of every table concatenated
+    # column-wise) — identical ids to per-table lsh_hyperplane_buckets
+    # calls (parity-tested)
+    import numpy as np
+    import pandas as pd
+
+    all_planes = np.concatenate(
+        [_plane_matrix(n_planes, dim, f"lsht{t}") for t in range(n_tables)],
+        axis=1,
+    )  # (dim, n_tables * n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (_quantize_np(m) @ all_planes) > 0  # (n, tables*planes)
+            bk = (
+                bits.reshape(len(pdf), n_tables, n_planes).astype(np.int64)
+                * weights
+            ).sum(axis=2)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "tbl": np.tile(np.arange(n_tables), len(pdf)),
+                    "bucket": bk.reshape(-1).astype(np.int32),
+                }
             )
-        ).alias("tbl", "bucket"),
+
+    buckets = embeddings.select(id_col, vec_col).mapInPandas(
+        bucketize, schema="id long, tbl int, bucket int"
     )
     groups = (
         buckets.groupBy("tbl", "bucket")

@@ -165,23 +165,27 @@ def test_ivf_assign_arrow_matches_jvm_impl(emb):
     assert a == j
 
 
-def test_multitable_single_scan_buckets_match_per_table_calls(emb):
-    # the fused array+posexplode bucket computation in lsh_cosine_pairs
-    # must equal per-table lsh_hyperplane_buckets invocations
-    from galago_git_spark.operators.simsearch import _bucket_expr, _quantize
-
-    e = emb.select(F.col("vec_id").alias("id"), _quantize(F.col("embedding")).alias("q"))
-    fused = {
-        (r["id"], r["tbl"], r["bucket"])
-        for r in e.select(
-            "id",
-            F.posexplode(
-                F.array(*[_bucket_expr(F.col("q"), 4, 64, f"lsht{t}") for t in range(4)])
-            ).alias("tbl", "bucket"),
-        ).collect()
-    }
-    per_table = set()
+def test_lsh_bucket_arrow_matches_jvm_impl(spark, emb):
+    # the Arrow sign-matmul bucketizer must reproduce the Catalyst
+    # expression bucket-for-bucket, including exact .5 quantization
+    # boundaries (Spark round = half away from zero, not numpy's
+    # half-to-even) and every per-table seed used by lsh_cosine_pairs
+    edge = spark.createDataFrame(
+        [(1000 + i, [(-1) ** i * 0.0625] * 64) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(edge)
     for t in range(4):
-        for r in lsh_hyperplane_buckets(emb, 4, 64, seed=f"lsht{t}").collect():
-            per_table.add((r["id"], t, r["bucket"]))
-    assert fused == per_table
+        a = {
+            (r["id"], r["bucket"])
+            for r in lsh_hyperplane_buckets(
+                corpus, 4, 64, seed=f"lsht{t}", impl="arrow"
+            ).collect()
+        }
+        j = {
+            (r["id"], r["bucket"])
+            for r in lsh_hyperplane_buckets(
+                corpus, 4, 64, seed=f"lsht{t}", impl="jvm"
+            ).collect()
+        }
+        assert a == j, f"bucket mismatch for table seed lsht{t}"
