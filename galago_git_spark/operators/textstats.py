@@ -37,9 +37,12 @@ def quality_features(
     curation, all single-pass column expressions."""
     t = F.col("_terms")
     n_tokens = F.size(t)
-    total_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    # sum of token lengths == length of the separator-free concatenation —
+    # whole-stage-codegen'd, vs an interpreted per-element aggregate lambda
+    total_len = F.length(F.concat_ws("", t))
+    # membership as an In-set (hash lookup) instead of array_contains over
+    # an array literal (a linear scan per token)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS_EN)))
     text = F.coalesce(F.col(text_col), F.lit(""))
     return docs.select(
         F.col(doc_col).alias("doc"),
