@@ -35,6 +35,9 @@ ALIASES = {
     "seqdep": "sdm",
     "fdm": "fulldep",
     "linear": "jm",
+    # FeatureFactory.java:105 registers PL2ScoringIterator under a second
+    # name for passage contexts
+    "pl2scorer": "pl2",
     "count-sum": "countsum",
     "counts-sum": "countsum",
     "log-count": "logcount",

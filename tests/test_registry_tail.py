@@ -154,3 +154,14 @@ def test_escaped_term_syntax():
     b = transform(parse("#between(#field:title() @/document faaa/ @/document fzzz/)"))
     assert b.parameters["0"] == "document faaa"
     assert b.parameters["1"] == "document fzzz"
+
+
+def test_pl2scorer_alias(ten_idx):
+    # FeatureFactory registers PL2ScoringIterator under both "pl2" and
+    # "pl2scorer"; the alias must produce identical rankings
+    from galago_git_spark.query.executor import execute
+
+    _, idx = ten_idx
+    a = [(r["doc"], r["score"]) for r in execute("#combine(#pl2(cat))", idx, k=5).collect()]
+    b = [(r["doc"], r["score"]) for r in execute("#combine(#pl2scorer(cat))", idx, k=5).collect()]
+    assert a == b and a
