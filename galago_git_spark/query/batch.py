@@ -51,18 +51,38 @@ def batch_bm25_topk(
     k: int = 10,
     b: float = BM25_B,
     k1: float = BM25_K,
+    max_pushdown_terms: int = 100_000,
 ) -> DataFrame:
     """query_terms: (qid, term, w), weights pre-normalized per qid.
     Returns (qid, doc, score, rank) — rank-identical per qid to the
-    per-query executor path."""
+    per-query executor path.
+
+    The batch's distinct terms (a query log is driver-sized) are pushed
+    into the postings and termstats scans as an In filter — the broadcast
+    join alone pushes no scan predicate, and the postings part is
+    term-range-sorted, so the In prunes row groups instead of scanning
+    the whole part. Batches above ``max_pushdown_terms`` distinct terms
+    fall back to the unfiltered join."""
     cs = index.collection_stats
     avgdl = cs.avg_doc_length
 
+    batch_terms = [
+        r["term"]
+        for r in query_terms.select("term").distinct().limit(
+            max_pushdown_terms + 1
+        ).collect()
+    ]
+    postings = index.postings
+    termstats = index.termstats
+    if len(batch_terms) <= max_pushdown_terms:
+        postings = postings.filter(F.col("term").isin(batch_terms))
+        termstats = termstats.filter(F.col("term").isin(batch_terms))
+
     qt = F.broadcast(query_terms)
-    # idf per (query) term from the termstats part; the semi-filtered
-    # stats table is tiny -> broadcast
+    # idf per (query) term from the termstats part; the pruned stats
+    # table is tiny -> broadcast
     ts = F.broadcast(
-        index.termstats.join(
+        termstats.join(
             query_terms.select("term").distinct(), "term", "left_semi"
         ).select("term", "df")
     )
@@ -71,7 +91,7 @@ def batch_bm25_topk(
     tfn = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * length / F.lit(avgdl)))
 
     matched = (
-        index.postings.select("term", "doc", "tf")
+        postings.select("term", "doc", "tf")
         .join(qt, "term")
         .join(ts, "term")
         .join(index.lengths, "doc")

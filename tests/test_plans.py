@@ -117,3 +117,14 @@ def test_rm1_feedback_doc_pushdown(spark, disk_index):
     probe = idx.postings.filter(F.col("doc").isin([0, 1, 2, 3, 4]))
     plan = _plan(probe)
     assert "In(doc" in plan, "doc In-filter must reach PushedFilters"
+
+
+def test_batch_tier_pushes_terms_into_postings_scan(spark, disk_index):
+    from galago_git_spark.query.batch import batch_bm25_topk, queries_to_terms
+
+    idx = open_index(spark, disk_index)
+    qt = queries_to_terms(
+        spark, [{"number": "q1", "text": "#combine(def return)"}]
+    )
+    plan = _plan(batch_bm25_topk(idx, qt, k=5))
+    assert "In(term" in plan, "batch terms must reach PushedFilters"
