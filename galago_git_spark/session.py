@@ -43,6 +43,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # runtime Bloom-filter joins: data-dependent joins (candidate docs
+        # x lengths, fb docs x postings when over the In cap) get a
+        # scan-side filter the planner can't know statically — the
+        # runtime analog of the driver-side In pushdowns. Opt-in: at the
+        # local bench scale (sf0.1) the filter's build cost exceeds the
+        # scan savings (A/B: bm25 topk 1.74s off vs 2.21s on), so it is
+        # off by default and worth flipping on a real multi-TB cluster
+        # where the filtered scan dominates. (Do NOT also enable
+        # runtimeFilter.semiJoinReduction: on Spark 4.1.2 it sends simple
+        # equi-join queries into a planner error that pyspark's exception
+        # converter turns into an infinite py4j loop.)
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            os.environ.get("SPARK_GRAFT_RUNTIME_BLOOM", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
