@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 from galago_git_spark.operators.hashing import md5_long
 
 
+def _id_type(df: DataFrame, col: str) -> str:
+    """DDL type of an id column — the Arrow kernels pass ids through
+    untouched, so their output schemas must mirror the input's id type
+    (string/int/long all legal) instead of assuming long."""
+    return df.schema[col].dataType.simpleString()
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -77,7 +84,7 @@ def cosine_scores_arrow(
             yield pd.DataFrame({"id": pdf[id_col], "cosine": dots / (norms * qn)})
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        score, schema="id long, cosine double"
+        score, schema=f"id {_id_type(embeddings, id_col)}, cosine double"
     )
 
 
@@ -107,11 +114,23 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
 
 
-def _pair_cosine_frame(pairs: DataFrame, threshold: float) -> DataFrame:
+def _pair_cosine_frame(
+    pairs: DataFrame, threshold: float, impl: str = "arrow"
+) -> DataFrame:
     """(id_a, id_b, va, vb) -> (id_a, id_b, cosine >= threshold) via a
     batch einsum per Arrow batch — the row-paired analog of
     :func:`cosine_scores_arrow` (the higher-order ``cosine_col`` form is
-    interpreted per element)."""
+    interpreted per element). ``impl="jvm"`` keeps the pure-Catalyst
+    expression (no Python workers) for cross-checking."""
+    if impl == "jvm":
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                cosine_col(F.col("va"), F.col("vb")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
     import numpy as np
     import pandas as pd
 
@@ -134,7 +153,11 @@ def _pair_cosine_frame(pairs: DataFrame, threshold: float) -> DataFrame:
             )
 
     return pairs.select("id_a", "id_b", "va", "vb").mapInPandas(
-        score, schema="id_a long, id_b long, cosine double"
+        score,
+        schema=(
+            f"id_a {_id_type(pairs, 'id_a')}, "
+            f"id_b {_id_type(pairs, 'id_b')}, cosine double"
+        ),
     )
 
 
@@ -143,6 +166,7 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding near-dup.
     Brute force O(n^2): correct baseline; at scale, pre-bucket with
@@ -150,7 +174,7 @@ def cosine_pairs(
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return _pair_cosine_frame(
-        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")), threshold
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")), threshold, impl
     )
 
 
@@ -250,7 +274,7 @@ def lsh_hyperplane_buckets(
                 )
 
         return embeddings.select(id_col, vec_col).mapInPandas(
-            bucketize, schema="id long, bucket int"
+            bucketize, schema=f"id {_id_type(embeddings, id_col)}, bucket int"
         )
     e = embeddings.select(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("q")
@@ -267,6 +291,7 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 1000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Scale-path embedding near-dup (the graded path — ``cosine_pairs``
     is the brute-force baseline): multi-table sign-LSH bucketing, ordered
@@ -311,7 +336,8 @@ def lsh_cosine_pairs(
             )
 
     buckets = embeddings.select(id_col, vec_col).mapInPandas(
-        bucketize, schema="id long, tbl int, bucket int"
+        bucketize,
+        schema=f"id {_id_type(embeddings, id_col)}, tbl int, bucket int",
     )
     groups = (
         buckets.groupBy("tbl", "bucket")
@@ -336,7 +362,9 @@ def lsh_cosine_pairs(
     )
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return _pair_cosine_frame(cand.join(ea, "id_a").join(eb, "id_b"), threshold)
+    return _pair_cosine_frame(
+        cand.join(ea, "id_a").join(eb, "id_b"), threshold, impl
+    )
 
 
 def lsh_cosine_topk(
@@ -408,7 +436,7 @@ def _assign_to(e: DataFrame, cents: DataFrame, impl: str = "arrow") -> DataFrame
         import pandas as pd
 
         rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
-        ids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+        ids = np.asarray([r["cent_id"] for r in rows])
         c_mat = np.stack(
             [np.asarray(r["cvec"], dtype=np.int64) for r in rows]
         ).T  # (dim, n_cells), cent_id-ascending columns
@@ -423,7 +451,12 @@ def _assign_to(e: DataFrame, cents: DataFrame, impl: str = "arrow") -> DataFrame
                 best = np.argmax(dots, axis=1)
                 yield pd.DataFrame({"id": pdf["id"], "cell": ids[best]})
 
-        return e.mapInPandas(assign, schema="id long, cell long")
+        return e.mapInPandas(
+            assign,
+            schema=(
+                f"id {_id_type(e, 'id')}, cell {_id_type(cents, 'cent_id')}"
+            ),
+        )
     scored = e.join(F.broadcast(cents)).withColumn(
         "dot", _int_dot(F.col("qvec"), F.col("cvec"))
     )
@@ -458,6 +491,7 @@ def ivf_centroids(
     if iterations <= 0:
         return cents
     spark = embeddings.sparkSession
+    cent_schema = f"cent_id {_id_type(cents, 'cent_id')}, cvec array<long>"
     # persist the quantized corpus once: every Lloyd step scans it twice
     # (assignment + the mean agg join) and would otherwise re-read and
     # re-quantize the source per iteration
@@ -469,9 +503,7 @@ def ivf_centroids(
     # Lloyd step — no re-collect of driver-built literals
     current = {r["cent_id"]: list(r["cvec"]) for r in cents.collect()}
     for _ in range(iterations):
-        cents = spark.createDataFrame(
-            sorted(current.items()), "cent_id long, cvec array<long>"
-        )
+        cents = spark.createDataFrame(sorted(current.items()), cent_schema)
         assign = _assign_to(e, cents)
         means = (
             e.join(assign, "id")
@@ -491,9 +523,7 @@ def ivf_centroids(
         for r in means.collect():  # empty cells keep their previous centroid
             current[r["cent_id"]] = list(r["cvec"])
     e.unpersist()
-    return spark.createDataFrame(
-        sorted(current.items()), "cent_id long, cvec array<long>"
-    )
+    return spark.createDataFrame(sorted(current.items()), cent_schema)
 
 
 def ivf_assign(

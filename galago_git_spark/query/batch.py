@@ -62,30 +62,39 @@ def batch_bm25_topk(
     join alone pushes no scan predicate, and the postings part is
     term-range-sorted, so the In prunes row groups instead of scanning
     the whole part. Batches above ``max_pushdown_terms`` distinct terms
-    fall back to the unfiltered join."""
+    fall back to the unfiltered join.
+
+    ``query_terms`` is materialized ONCE (a blocking collect — the query
+    log is driver-sized by contract) and the joins run against the
+    collected rows, so the pushed In set and the joined term set always
+    agree even when the input frame's lineage is non-deterministic
+    (``.sample()``/unordered ``.limit()``)."""
     cs = index.collection_stats
     avgdl = cs.avg_doc_length
 
-    batch_terms = [
-        r["term"]
-        for r in query_terms.select("term").distinct().limit(
-            max_pushdown_terms + 1
-        ).collect()
-    ]
+    qrows = query_terms.select("qid", "term", "w").collect()
+    batch_terms = sorted({r["term"] for r in qrows})
+    qt_local = index.spark.createDataFrame(
+        [(r["qid"], r["term"], r["w"]) for r in qrows],
+        "qid string, term string, w double",
+    )
     postings = index.postings
     termstats = index.termstats
     if len(batch_terms) <= max_pushdown_terms:
         postings = postings.filter(F.col("term").isin(batch_terms))
-        termstats = termstats.filter(F.col("term").isin(batch_terms))
+        termstats = termstats.filter(F.col("term").isin(batch_terms)).select(
+            "term", "df"
+        )
+    else:
+        # too many terms for a scan-side In — prune stats via semi-join
+        termstats = termstats.join(
+            qt_local.select("term").distinct(), "term", "left_semi"
+        ).select("term", "df")
 
-    qt = F.broadcast(query_terms)
+    qt = F.broadcast(qt_local)
     # idf per (query) term from the termstats part; the pruned stats
     # table is tiny -> broadcast
-    ts = F.broadcast(
-        termstats.join(
-            query_terms.select("term").distinct(), "term", "left_semi"
-        ).select("term", "df")
-    )
+    ts = F.broadcast(termstats)
     tf, length = F.col("tf").cast("double"), F.col("length").cast("double")
     idf = F.log(F.lit(float(cs.document_count)) / (F.col("df") + 0.5))
     tfn = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * length / F.lit(avgdl)))

@@ -159,18 +159,23 @@ def compile_count(
                 return rewritten
         return _window_frame(node, index, op, width)
     if op == "synonym":
+        # positions are only merged when the caller consumes them — in pure
+        # count contexts children compile with need_positions=False so the
+        # window-part rewrite stays available beneath #syn
         frames = [
-            compile_count(c, index, need_positions=True) for c in node.children
+            compile_count(c, index, need_positions=need_positions)
+            for c in node.children
         ]
-        return (
-            reduce(DataFrame.unionByName, frames)
-            .groupBy("doc")
-            .agg(
+        unioned = reduce(DataFrame.unionByName, frames).groupBy("doc")
+        if need_positions:
+            return unioned.agg(
                 F.sum("tf").alias("tf"),
                 F.sort_array(F.flatten(F.collect_list("positions"))).alias(
                     "positions"
                 ),
             )
+        return unioned.agg(F.sum("tf").alias("tf")).withColumn(
+            "positions", F.lit(None).cast("array<int>")
         )
     if op == "mincount":
         frames = [compile_count(c, index) for c in node.children]
@@ -578,6 +583,8 @@ _BUILTIN_OPERATOR_NAMES = frozenset(
         "scale", "log", "boost", "threshold", "logprobnot", "bool", "all",
         "any", "not", "sdm", "fulldep", "wsdm", "prms", "rm", "rm3", "prf",
         "stopword", "ss", "stopstructure", "bm25fcomb", "extentor", "field",
+        "greater", "less", "between", "equals", "indicator", "lengths",
+        "pdfr", "window", "passagefilter", "passagelengths",
     }
 )
 
@@ -596,8 +603,14 @@ def register_scorer(name: str, column_fn) -> None:
     treats it as a scorer. Built-in operator names cannot be shadowed."""
     from galago_git_spark.query import traversals
 
-    if name in _BUILTIN_OPERATOR_NAMES or (
-        name in traversals.SCORERS and name not in _CUSTOM_SCORERS
+    # alias spellings (#linear, #od, #seqdep, ...) are rewritten to their
+    # canonical operator by replace_operators BEFORE scorer dispatch, so a
+    # registration under an alias name would be silently ignored — reject
+    # them alongside the canonical names
+    if (
+        name in _BUILTIN_OPERATOR_NAMES
+        or name in traversals.ALIASES
+        or (name in traversals.SCORERS and name not in _CUSTOM_SCORERS)
     ):
         raise ValueError(f"cannot shadow built-in operator #{name}")
     _CUSTOM_SCORERS[name] = column_fn

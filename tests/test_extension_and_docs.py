@@ -243,6 +243,18 @@ def test_register_scorer_cannot_shadow_builtin(spark):
     assert "bm25" in tv.SCORERS
 
 
+def test_register_scorer_cannot_shadow_alias_spellings(spark):
+    # alias names are rewritten to canonical operators before scorer
+    # dispatch, so a registration under them would be silently ignored —
+    # they must be rejected like canonical names (r3 review finding)
+    from galago_git_spark.query import traversals as tv
+
+    for alias in ("linear", "od", "uw", "seqdep", "pl2scorer", "log-count"):
+        assert alias in tv.ALIASES  # guard the fixture against alias churn
+        with pytest.raises(ValueError, match="shadow"):
+            register_scorer(alias, lambda *a: None)
+
+
 def test_build_window_id_col_alignment(spark, tmp_path):
     """Window parts built with --id-col over a passthrough-id index must
     attribute tfs to the same doc ids the postings use (review finding:

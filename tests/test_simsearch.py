@@ -189,3 +189,43 @@ def test_lsh_bucket_arrow_matches_jvm_impl(spark, emb):
             ).collect()
         }
         assert a == j, f"bucket mismatch for table seed lsht{t}"
+
+
+def test_string_id_columns_pass_through_arrow_kernels(spark, emb):
+    # the Arrow kernels must mirror the input id type in their output
+    # schemas (r3 review finding: 'id long' was hardcoded) — a corpus
+    # keyed by string ids must work end-to-end on every default path
+    from galago_git_spark.operators.simsearch import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    sids = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    top = cosine_topk(sids, qvec, k=5).collect()
+    assert len(top) == 5 and isinstance(top[0]["id"], str)
+
+    pairs = lsh_cosine_pairs(sids, threshold=0.4).collect()
+    assert pairs and isinstance(pairs[0]["id_a"], str)
+
+    ivf = ivf_cosine_topk(sids, qvec, k=5, n_cells=8, n_probe=8).collect()
+    assert len(ivf) == 5 and isinstance(ivf[0]["id"], str)
+
+
+def test_pair_cosine_jvm_escape_hatch_matches_arrow(emb):
+    # cosine_pairs/lsh_cosine_pairs expose impl="jvm" as the no-Python
+    # cross-check path; pair sets and cosines must agree with Arrow
+    a = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(emb, threshold=0.4, impl="arrow").collect()
+    }
+    j = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(emb, threshold=0.4, impl="jvm").collect()
+    }
+    assert a.keys() == j.keys() and a
+    for k in a:
+        assert abs(a[k] - j[k]) < 1e-9

@@ -220,3 +220,38 @@ def test_uw_part_bypassed_inside_require_under_window(spark, windowed_index):
     a = {(r["doc"], r["tf"]) for r in compile_count(node, idx).select("doc", "tf").collect()}
     b = {(r["doc"], r["tf"]) for r in compile_count(node, idx_nopart).select("doc", "tf").collect()}
     assert a == b
+
+
+def test_syn_count_context_keeps_part_rewrite(spark, windowed_index):
+    """#syn in a pure count context must not force positions onto its
+    children (r3 review finding): the od:1 part stays in the plan and the
+    tf equals the positional evaluation; a positions-consuming ancestor
+    still bypasses the part."""
+    idx = open_index(spark, windowed_index)
+    node = transform(parse("#syn(#od:1(def return) class)"))
+    plan = compile_count(node, idx)._jdf.queryExecution().toString()
+    assert "window.od1.2" in plan
+    idx_nopart = open_index(spark, windowed_index)
+    idx_nopart.window_parts = None
+    a = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node, idx).select("doc", "tf").collect()
+    }
+    b = {
+        (r["doc"], r["tf"])
+        for r in compile_count(node, idx_nopart).select("doc", "tf").collect()
+    }
+    assert a and a == b
+    # under a window the synonym's children must carry real positions
+    outer = transform(parse("#uw:20(#syn(#od:1(def return) class) def)"))
+    plan_pos = compile_count(outer, idx)._jdf.queryExecution().toString()
+    assert "window.od1.2" not in plan_pos
+    a_o = {
+        (r["doc"], r["tf"])
+        for r in compile_count(outer, idx).select("doc", "tf").collect()
+    }
+    b_o = {
+        (r["doc"], r["tf"])
+        for r in compile_count(outer, idx_nopart).select("doc", "tf").collect()
+    }
+    assert a_o == b_o
