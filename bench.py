@@ -216,6 +216,26 @@ def main() -> None:
         for name in ("dedup_minhash_lsh", "ann_cosine_topk", "text_token_counts"):
             if name in reg:
                 timed(name, lambda name=name: reg[name](spark, sf_dir).collect())
+
+        # 4. on-disk IVF ANN part: one-time build, then the probed query
+        # reads n_probe/n_cells of the part via partition pruning —
+        # compare q_ann_part_topk against the full-scan ann_cosine_topk
+        from galago_git_spark.operators.ann_index import (
+            ann_index_topk,
+            build_ann_index,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        ann_dir = os.path.join(tmp, "ann_ivf")
+        timed(
+            "build_ann_part",
+            lambda: build_ann_index(emb, ann_dir, n_cells=16),
+        )
+        timed(
+            "q_ann_part_topk",
+            lambda: ann_index_topk(spark, ann_dir, qvec, k=10, n_probe=4).collect(),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

@@ -1,0 +1,126 @@
+"""On-disk IVF ANN part: build once, probe with partition pruning.
+
+The in-memory IVF path (:func:`~galago_git_spark.operators.simsearch.
+ivf_cosine_topk`) recomputes the coarse-quantizer assignment on every
+query — one full corpus scan per query. At 100 TB the right shape is the
+classic inverted-file layout on disk: vectors grouped by their cell so a
+query touches only its ``n_probe`` cells' files. This module writes that
+layout as parquet partitioned by cell (the DiskIndex analog for the ANN
+plane, mirroring how ``index/build.py`` persists the postings parts):
+
+- ``<path>/centroids`` — (cent_id, cvec) quantized centroids (tiny);
+- ``<path>/vectors`` — (id, vec) partitioned by ``cell=<cent_id>``
+  directories, so a probed query reads ``n_probe / n_cells`` of the data
+  via partition pruning (no filter ever touches the other cells' files);
+- ``<path>/manifest.json`` — parameters + row count for validation.
+
+Query-time cell selection happens driver-side on the collected centroid
+matrix (n_cells x dim int64 — same exact-integer dot and lowest-id
+tie-break as assignment, so results are identical to the in-memory path
+on every engine and cluster size). Cell keys are written as strings so
+partition-column type inference can never disagree with the centroid id
+type."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from galago_git_spark.operators.simsearch import (
+    _assign_to,
+    _quantize,
+    cosine_topk,
+    ivf_centroids,
+)
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the IVF part under ``path``; returns the manifest dict.
+
+    One assignment scan (broadcast centroids, exact int64 dot — zero
+    shuffle) + one ``repartition(cell)`` write shuffle. Head-cell skew is
+    bounded by the quantizer itself (a cell never exceeds its member
+    count; for pathological corpora raise ``n_cells`` or refine with
+    ``iterations``)."""
+    cents = ivf_centroids(embeddings, n_cells, iterations, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _quantize(F.col(vec_col)).alias("qvec"),
+    )
+    assign = _assign_to(e.select("id", "qvec"), cents)
+    vectors = (
+        e.select("id", "vec")
+        .join(assign, "id")
+        .withColumn("cell", F.col("cell").cast("string"))
+    )
+    (
+        vectors.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    manifest = {
+        "type": "ivf",
+        "n_cells": n_cells,
+        "iterations": iterations,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "rows": embeddings.count(),
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _probed_cells(
+    spark: SparkSession, path: str, query_vec: list[float], n_probe: int
+) -> list[str]:
+    """Top ``n_probe`` cell keys for the query — driver-side exact int64
+    dots over the collected centroid matrix (dot desc, cent_id asc: the
+    same order the assignment uses)."""
+    import numpy as np
+
+    rows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r["cent_id"],
+    )
+    c_mat = np.stack([np.asarray(r["cvec"], dtype=np.int64) for r in rows])
+    q = np.asarray(
+        [int(round(float(x) * 1000)) for x in query_vec], dtype=np.int64
+    )
+    dots = c_mat @ q
+    order = sorted(range(len(rows)), key=lambda i: (-dots[i], rows[i]["cent_id"]))
+    return [str(rows[i]["cent_id"]) for i in order[:n_probe]]
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """(id, cosine) top-k from the on-disk part: exact cosine restricted
+    to the ``n_probe`` best cells. The ``cell`` In-filter is a PARTITION
+    filter — Spark lists only the probed directories, so the scan reads
+    ``n_probe / n_cells`` of the part (assert ``PartitionFilters`` in
+    ``.explain``). Results are identical to ``ivf_cosine_topk`` with the
+    same parameters over the source table."""
+    cells = _probed_cells(spark, path, query_vec, n_probe)
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cell").isin(cells)
+    )
+    return cosine_topk(vecs, query_vec, k=k, id_col="id", vec_col="vec")

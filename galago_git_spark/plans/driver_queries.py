@@ -1658,6 +1658,53 @@ SELECT id, cosine, rank FROM (
 WHERE rank <= 10"""
 
 
+_ANN_DIRS: dict[str, str] = {}
+
+
+def _ann_part_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the on-disk IVF part over the
+    ``embeddings`` table minus the query vector — the same corpus the
+    ``SQL_ANN_IVF`` oracle scores, so the part-backed entry shares it."""
+    if sf_dir not in _ANN_DIRS:
+        import os
+        import tempfile
+
+        from galago_git_spark.operators.ann_index import build_ann_index
+
+        d = os.path.join(tempfile.mkdtemp(prefix="gg_ann_"), "ivf")
+        build_ann_index(
+            _emb(spark, sf_dir).filter(F.col("vec_id") != QUERY_VEC_ID),
+            d,
+            n_cells=IVF_CELLS,
+        )
+        _ANN_DIRS[sf_dir] = d
+    return _ANN_DIRS[sf_dir]
+
+
+def q_ann_ivf_part_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN from the ON-DISK part (operators/ann_index.py): vectors
+    parquet partitioned by cell, probe = partition-pruned scan of the
+    n_probe best cells (PartitionFilters, plan-asserted in
+    tests/test_ann_index.py). Same deterministic quantizer as
+    ``ann_ivf_topk``, so the same DuckDB oracle grades both — this entry
+    checks the persisted layout end-to-end (build, assignment write,
+    driver-side probe selection, pruned read)."""
+    from galago_git_spark.operators.ann_index import ann_index_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]["embedding"]
+    out = ann_index_topk(
+        spark,
+        _ann_part_dir(spark, sf_dir),
+        [float(x) for x in qvec],
+        k=10,
+        n_probe=IVF_PROBE,
+    )
+    r = out.withColumn("cosine", F.round("cosine", 6))
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return r.withColumn("rank", F.row_number().over(w)).select("id", "cosine", "rank")
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_hyperplane_buckets(
         _emb(spark, sf_dir), n_planes=8, dim=64
@@ -1885,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_part_topk": q_ann_ivf_part_topk,
         "ann_lsh_buckets": q_lsh_buckets,
         "dedup_embedding_cosine": q_embedding_cosine_pairs,
     }
@@ -1960,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": SQL_FRAME_SAMPLE,
         "ann_cosine_topk": SQL_ANN_COSINE,
         "ann_ivf_topk": SQL_ANN_IVF,
+        "ann_ivf_part_topk": SQL_ANN_IVF,
         "ann_lsh_buckets": SQL_LSH_BUCKETS,
         "dedup_embedding_cosine": SQL_EMB_PAIRS,
     }

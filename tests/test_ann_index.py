@@ -1,0 +1,90 @@
+"""On-disk IVF ANN part: build + partition-pruned probe must reproduce
+the in-memory IVF path exactly, and the probe scan must touch only the
+probed cells' files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from galago_git_spark.operators.ann_index import (
+    ann_index_topk,
+    build_ann_index,
+)
+from galago_git_spark.operators.simsearch import ivf_cosine_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def ann_part(spark, emb, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ann") / "ivf")
+    manifest = build_ann_index(emb, d, n_cells=16)
+    assert manifest["rows"] == emb.count()
+    return d
+
+
+def test_part_topk_matches_in_memory_ivf(spark, emb, ann_part):
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    mem = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ivf_cosine_topk(
+            emb, qvec, k=10, n_cells=16, n_probe=4
+        ).collect()
+    ]
+    part = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ann_index_topk(spark, ann_part, qvec, k=10, n_probe=4).collect()
+    ]
+    assert part == mem and len(part) == 10
+
+
+def test_probe_scan_is_partition_pruned(spark, emb, ann_part):
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    probe = ann_index_topk(spark, ann_part, qvec, k=10, n_probe=4)
+    # the cell In-filter must land in PartitionFilters (directory-level
+    # pruning), NOT DataFilters (a post-scan row filter would mean every
+    # cell's files were read); inputFiles() reports the pre-pruning
+    # listing, so the physical plan is the evidence
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "PartitionFilters: [cell" in scan and " IN " in scan
+    assert "DataFilters: []" in scan
+    # and the probed directories alone reproduce the candidate set
+    from galago_git_spark.operators.ann_index import _probed_cells
+
+    cells = _probed_cells(spark, ann_part, qvec, n_probe=4)
+    assert len(cells) == 4
+    direct = spark.read.parquet(
+        *[os.path.join(ann_part, "vectors", f"cell={c}") for c in cells]
+    )
+    n_cand = (
+        spark.read.parquet(os.path.join(ann_part, "vectors"))
+        .filter(F.col("cell").isin(cells))
+        .count()
+    )
+    assert direct.count() == n_cand > 0
+
+
+def test_probe_all_cells_equals_bruteforce(spark, emb, ann_part):
+    from galago_git_spark.operators.simsearch import cosine_topk
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    full = [
+        (r["id"], round(r["cosine"], 9))
+        for r in cosine_topk(emb, qvec, k=10).collect()
+    ]
+    part = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ann_index_topk(spark, ann_part, qvec, k=10, n_probe=16).collect()
+    ]
+    assert part == full
