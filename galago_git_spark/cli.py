@@ -633,7 +633,11 @@ def cmd_operator_help(args: argparse.Namespace) -> dict:
     user-registered via register_scorer), score-subtree combiners — from
     the live registries, no Spark session needed."""
     from galago_git_spark.query import traversals as tv
-    from galago_git_spark.query.executor import _CUSTOM_SCORERS, _SCORE_SUBTREES
+    from galago_git_spark.query.executor import (
+        _CUSTOM_COUNT_OPS,
+        _CUSTOM_SCORERS,
+        _SCORE_SUBTREES,
+    )
 
     # tv.SCORERS mixes leaf scorers with score-subtree combiners (scale,
     # log, ...) — list the combiners only under score_subtrees
@@ -646,6 +650,7 @@ def cmd_operator_help(args: argparse.Namespace) -> dict:
         "count_operators": sorted(tv.COUNT_OPS),
         "scorers": builtin_scorers,
         "custom_scorers": sorted(_CUSTOM_SCORERS),
+        "custom_count_operators": sorted(_CUSTOM_COUNT_OPS),
         "score_subtrees": sorted(_SCORE_SUBTREES),
     }
     for kind in ("aliases",):

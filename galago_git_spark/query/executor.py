@@ -272,6 +272,8 @@ def compile_count(
         return compile_count(node.children[1], index, need_positions).join(
             ind.select("doc"), "doc", "left_anti"
         )
+    if op in _CUSTOM_COUNT_OPS:
+        return _CUSTOM_COUNT_OPS[op](node, index, compile_count)
     raise ValueError(f"unsupported count operator: #{op}")
 
 
@@ -572,6 +574,9 @@ def _scorer_column(
 # hook (FeatureFactory.java:157-206, the `operators` global parameter maps
 # operator names to user classes). Here the "class" is a column builder.
 _CUSTOM_SCORERS: dict = {}
+# user-registered count-plane operators (the count-iterator half of the
+# same FeatureFactory hook): name -> frame_fn(node, index, compile_count)
+_CUSTOM_COUNT_OPS: dict = {}
 # names a user registration may never take over (count ops, combiners, and
 # every alias the parser/traversals already claim)
 _BUILTIN_OPERATOR_NAMES = frozenset(
@@ -610,11 +615,39 @@ def register_scorer(name: str, column_fn) -> None:
     if (
         name in _BUILTIN_OPERATOR_NAMES
         or name in traversals.ALIASES
+        or name in _CUSTOM_COUNT_OPS
         or (name in traversals.SCORERS and name not in _CUSTOM_SCORERS)
     ):
         raise ValueError(f"cannot shadow built-in operator #{name}")
     _CUSTOM_SCORERS[name] = column_fn
     traversals.SCORERS.add(name)
+
+
+def register_count_op(name: str, frame_fn) -> None:
+    """Register a user count-plane operator ``#name`` usable anywhere a
+    count-typed subtree is legal (under any scorer, inside #combine via
+    the implicit default-scorer cast, as a #require/#reject candidate...).
+    ``frame_fn(node, index, compile_count) -> DataFrame(doc, tf,
+    positions)`` receives the query node, the Index handle, and
+    ``compile_count`` itself for compiling children — the count-iterator
+    half of FeatureFactory's external operator lookup
+    (``FeatureFactory.java:157-206``; :func:`register_scorer` is the
+    scoring half). Built-in operator names and alias spellings cannot be
+    shadowed."""
+    from galago_git_spark.query import traversals
+
+    if (
+        name in _BUILTIN_OPERATOR_NAMES
+        or name in traversals.ALIASES
+        or name in traversals.SCORERS
+    ):
+        raise ValueError(f"cannot shadow built-in operator #{name}")
+    _CUSTOM_COUNT_OPS[name] = frame_fn
+
+
+def unregister_count_op(name: str) -> None:
+    """Remove a count op registered via :func:`register_count_op`."""
+    _CUSTOM_COUNT_OPS.pop(name, None)
 
 
 def unregister_scorer(name: str) -> None:

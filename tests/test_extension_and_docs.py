@@ -285,3 +285,47 @@ def test_build_window_id_col_alignment(spark, tmp_path):
     a = {(r["doc"], r["tf"]) for r in compile_count(node, idx).select("doc", "tf").collect()}
     b = {(r["doc"], r["tf"]) for r in compile_count(node, idx_nopart).select("doc", "tf").collect()}
     assert a and a == b
+
+
+def test_register_count_op_runs_through_execute(spark, corpus_and_index):
+    # the count-iterator half of the FeatureFactory hook: a registered
+    # #name must work anywhere a count subtree is legal — here under a
+    # scorer inside #combine, compared against the equivalent built-in
+    from galago_git_spark.query.executor import (
+        register_count_op,
+        unregister_count_op,
+    )
+
+    _, idir = corpus_and_index
+    idx = open_index(spark, idir)
+
+    def doubled(node, index, compile_count):
+        child = compile_count(node.children[0], index)
+        return child.withColumn("tf", F.col("tf") * 2)
+
+    register_count_op("doubletf", doubled)
+    try:
+        got = [
+            (r["doc"], round(r["score"], 9))
+            for r in execute(
+                "#combine(#bm25(#doubletf(def)))", idx, k=10
+            ).collect()
+        ]
+        want = [
+            (r["doc"], round(r["score"], 9))
+            for r in execute(
+                "#combine(#bm25(#countsum(def def)))", idx, k=10
+            ).collect()
+        ]
+        assert got and got == want
+        # shadow guards work both ways across the two registries
+        with pytest.raises(ValueError, match="shadow"):
+            register_count_op("counts", lambda *a: None)
+        with pytest.raises(ValueError, match="shadow"):
+            register_count_op("od", lambda *a: None)
+        with pytest.raises(ValueError, match="shadow"):
+            register_scorer("doubletf", lambda *a: None)
+    finally:
+        unregister_count_op("doubletf")
+    with pytest.raises(ValueError):
+        execute("#combine(#bm25(#doubletf(def)))", idx, k=10).collect()

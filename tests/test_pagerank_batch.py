@@ -64,3 +64,70 @@ def test_batch_plan_equals_per_query(spark):
         assert [d for d, _ in got] == [d for d, _ in want], q["number"]
         for (d1, s1), (d2, s2) in zip(got, want):
             assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+# property test: the single-plan batch tier must match the per-query
+# executor for arbitrary flat BM25 query logs (weights, duplicates,
+# absent terms) — the batch analog of the kernel property tests
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = [
+    "def", "return", "class", "import", "index", "sort", "merge", "scan",
+    "table", "row", "data", "value", "zzz_absent_term", "qqq_missing",
+]
+
+
+@pytest.fixture(scope="module")
+def batch_idx(spark):
+    from galago_git_spark.query.executor import inline_index
+    from galago_git_spark.sources.corpus import synthetic_code_corpus
+
+    corpus = synthetic_code_corpus(spark, n_docs=120, seed=7)
+    docs = corpus.select(
+        F.crc32(F.col("path")).cast("long").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    return inline_index(docs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    log=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(_VOCAB),
+                st.floats(min_value=0.1, max_value=5.0, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_batch_matches_executor_on_random_logs(spark, batch_idx, log):
+    from galago_git_spark.query.batch import batch_bm25_topk, queries_to_terms
+    from galago_git_spark.query.executor import execute
+
+    queries = []
+    for i, terms in enumerate(log):
+        spec = ":".join(f"{j}={round(w, 3)}" for j, (_, w) in enumerate(terms))
+        text = f"#combine:{spec}({' '.join(t for t, _ in terms)})"
+        queries.append({"number": f"q{i}", "text": text})
+    qt = queries_to_terms(spark, queries)
+    batch = batch_bm25_topk(batch_idx, qt, k=5).collect()
+    by_qid: dict[str, list] = {}
+    for r in sorted(batch, key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append((r["doc"], r["score"]))
+    for q in queries:
+        solo = execute(q["text"], batch_idx, k=5, default_scorer="bm25").collect()
+        want = [(r["doc"], r["score"]) for r in solo]
+        got = by_qid.get(q["number"], [])
+        assert [d for d, _ in got] == [d for d, _ in want], q["text"]
+        for (_, s1), (_, s2) in zip(got, want):
+            assert s1 == pytest.approx(s2, abs=1e-9)
