@@ -330,6 +330,58 @@ def cmd_build_window(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_build_ann(args: argparse.Namespace) -> dict:
+    """Build the on-disk IVF ANN part (operators/ann_index.py) over an
+    embeddings parquet table — the ANN-plane sibling of ``build``."""
+    spark = _get_spark(args.cores, "galago-build-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.operators.ann_index import build_ann_index
+
+    emb = spark.read.parquet(args.input)
+    t0 = time.perf_counter()
+    manifest = build_ann_index(
+        emb, args.index, n_cells=args.cells, iterations=args.iterations,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"cmd": "build-ann", "build_sec": round(dt, 3), **manifest}
+
+
+def cmd_ann_search(args: argparse.Namespace) -> dict:
+    """Query the on-disk IVF part: exact cosine top-k over the n_probe
+    best cells (partition-pruned scan). --query-id looks the query vector
+    up in an embeddings table; --vector takes a JSON float list."""
+    spark = _get_spark(args.cores, "galago-ann-search")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.operators.ann_index import ann_index_topk
+
+    if args.vector:
+        qvec = [float(x) for x in json.loads(args.vector)]
+    else:
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(args.input)
+        row = emb.filter(
+            F.col(args.id_col).cast("string") == str(args.query_id)
+        ).first()
+        if row is None:
+            spark.stop()
+            return {"cmd": "ann-search", "found": False, "query_id": args.query_id}
+        qvec = [float(x) for x in row[args.vec_col]]
+    rows = ann_index_topk(
+        spark, args.index, qvec, k=args.k, n_probe=args.probe
+    ).collect()
+    spark.stop()
+    return {
+        "cmd": "ann-search",
+        "found": True,
+        "results": [
+            {"id": r["id"], "cosine": round(r["cosine"], 6)} for r in rows
+        ],
+    }
+
+
 def cmd_doc(args: argparse.Namespace) -> dict:
     """``galago doc`` analog (DumpDocFn.java:38-57): full text + metadata
     of the document named by --id (external name or internal number)."""
@@ -779,6 +831,30 @@ def main(argv: list[str] | None = None) -> int:
     bw.add_argument("--id-col", default=None,
                     help="must match the --id-col the index was built with")
     bw.set_defaults(fn=cmd_build_window)
+
+    ba = sub.add_parser("build-ann")
+    ba.add_argument("--input", required=True, help="embeddings parquet dir")
+    ba.add_argument("--index", required=True, help="output part dir")
+    ba.add_argument("--cells", type=int, default=16)
+    ba.add_argument("--iterations", type=int, default=0,
+                    help="k-means refinement steps (0 = deterministic seeds)")
+    ba.add_argument("--id-col", default="vec_id")
+    ba.add_argument("--vec-col", default="embedding")
+    ba.add_argument("--cores", type=int, default=8)
+    ba.set_defaults(fn=cmd_build_ann)
+
+    asr = sub.add_parser("ann-search")
+    asr.add_argument("--index", required=True, help="IVF part dir")
+    asr.add_argument("--input", default=None,
+                     help="embeddings parquet dir (for --query-id lookup)")
+    asr.add_argument("--query-id", default=None)
+    asr.add_argument("--vector", default=None, help="JSON float list")
+    asr.add_argument("--k", type=int, default=10)
+    asr.add_argument("--probe", type=int, default=4)
+    asr.add_argument("--id-col", default="vec_id")
+    asr.add_argument("--vec-col", default="embedding")
+    asr.add_argument("--cores", type=int, default=8)
+    asr.set_defaults(fn=cmd_ann_search)
 
     dq = sub.add_parser("doc")
     dq.add_argument("--index", required=True)

@@ -88,3 +88,30 @@ def test_probe_all_cells_equals_bruteforce(spark, emb, ann_part):
         for r in ann_index_topk(spark, ann_part, qvec, k=10, n_probe=16).collect()
     ]
     assert part == full
+
+
+def test_ann_cli_build_and_search(spark, emb, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "ivf_cli")
+
+    def cli(args):
+        out = subprocess.run(
+            [sys.executable, "-m", "galago_git_spark", *args],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        )
+        return _json.loads(
+            [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        )
+
+    r = cli(["build-ann", "--input", f"{SF_DIR}/embeddings.parquet",
+             "--index", d, "--cells", "8", "--cores", "2"])
+    assert r["n_cells"] == 8 and r["rows"] == emb.count()
+    r = cli(["ann-search", "--index", d,
+             "--input", f"{SF_DIR}/embeddings.parquet",
+             "--query-id", "0", "--k", "5", "--probe", "8", "--cores", "2"])
+    assert r["found"] and len(r["results"]) == 5
+    assert r["results"][0]["id"] == 0  # self-match at cosine ~1.0
+    assert r["results"][0]["cosine"] == 1.0
