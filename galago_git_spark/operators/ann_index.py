@@ -44,6 +44,7 @@ def build_ann_index(
     iterations: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    resume: bool = True,
 ) -> dict:
     """Build the IVF part under ``path``; returns the manifest dict.
 
@@ -51,7 +52,28 @@ def build_ann_index(
     shuffle) + one ``repartition(cell)`` write shuffle. Head-cell skew is
     bounded by the quantizer itself (a cell never exceeds its member
     count; for pathological corpora raise ``n_cells`` or refine with
-    ``iterations``)."""
+    ``iterations``).
+
+    The manifest is written LAST, so its presence marks a completed
+    build; with ``resume=True`` (default) a re-run over the same corpus
+    and parameters returns the existing manifest without touching the
+    part (an interrupted build has no manifest and rebuilds from
+    scratch — both sub-writes are mode=overwrite, so that is safe)."""
+    mpath = os.path.join(path, "manifest.json")
+    if resume and os.path.exists(mpath):
+        with open(mpath) as f:
+            existing = json.load(f)
+        same = all(
+            existing.get(k) == v
+            for k, v in [
+                ("type", "ivf"), ("n_cells", n_cells),
+                ("iterations", iterations), ("id_col", id_col),
+                ("vec_col", vec_col),
+            ]
+        )
+        if same and existing.get("rows") == embeddings.count():
+            return existing
+
     cents = ivf_centroids(embeddings, n_cells, iterations, id_col, vec_col)
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 

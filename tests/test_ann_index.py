@@ -115,3 +115,20 @@ def test_ann_cli_build_and_search(spark, emb, tmp_path):
     assert r["found"] and len(r["results"]) == 5
     assert r["results"][0]["id"] == 0  # self-match at cosine ~1.0
     assert r["results"][0]["cosine"] == 1.0
+
+
+def test_build_resume_skips_completed_part(spark, emb, tmp_path):
+    import time
+
+    d = str(tmp_path / "ivf_resume")
+    m1 = build_ann_index(emb, d, n_cells=8)
+    mtime = os.path.getmtime(os.path.join(d, "manifest.json"))
+    t0 = time.perf_counter()
+    m2 = build_ann_index(emb, d, n_cells=8)
+    assert m2 == m1
+    assert os.path.getmtime(os.path.join(d, "manifest.json")) == mtime
+    assert time.perf_counter() - t0 < 5  # count() only, no rebuild
+    # changed parameters force a rebuild
+    m3 = build_ann_index(emb, d, n_cells=4)
+    assert m3["n_cells"] == 4
+    assert os.path.getmtime(os.path.join(d, "manifest.json")) != mtime
