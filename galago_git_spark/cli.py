@@ -352,6 +352,10 @@ def cmd_ann_search(args: argparse.Namespace) -> dict:
     """Query the on-disk IVF part: exact cosine top-k over the n_probe
     best cells (partition-pruned scan). --query-id looks the query vector
     up in an embeddings table; --vector takes a JSON float list."""
+    if not args.vector and not (args.query_id is not None and args.input):
+        raise SystemExit(
+            "ann-search: provide --vector, or --query-id together with --input"
+        )
     spark = _get_spark(args.cores, "galago-ann-search")
     spark.sparkContext.setLogLevel("ERROR")
     from galago_git_spark.operators.ann_index import ann_index_topk

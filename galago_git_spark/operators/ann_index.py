@@ -57,10 +57,12 @@ def build_ann_index(
     The manifest is written LAST, so its presence marks a completed
     build; with ``resume=True`` (default) a re-run over the same corpus
     and parameters returns the existing manifest without touching the
-    part (an interrupted build has no manifest and rebuilds from
-    scratch — both sub-writes are mode=overwrite, so that is safe)."""
+    part. Any build that proceeds past the resume check deletes the old
+    manifest FIRST, so an interrupted (re)build can never leave a
+    manifest pointing at half-overwritten part files."""
+    n_rows = embeddings.count()
     mpath = os.path.join(path, "manifest.json")
-    if resume and os.path.exists(mpath):
+    if os.path.exists(mpath):
         with open(mpath) as f:
             existing = json.load(f)
         same = all(
@@ -68,25 +70,25 @@ def build_ann_index(
             for k, v in [
                 ("type", "ivf"), ("n_cells", n_cells),
                 ("iterations", iterations), ("id_col", id_col),
-                ("vec_col", vec_col),
+                ("vec_col", vec_col), ("rows", n_rows),
             ]
         )
-        if same and existing.get("rows") == embeddings.count():
+        if resume and same:
             return existing
+        os.remove(mpath)  # rebuilding: the old completion marker is a lie
 
     cents = ivf_centroids(embeddings, n_cells, iterations, id_col, vec_col)
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
+    # ONE corpus pass: vec rides the same Arrow batch the assignment
+    # reads (carry=), so the only shuffle is the repartition-by-cell write
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _quantize(F.col(vec_col)).alias("qvec"),
     )
-    assign = _assign_to(e.select("id", "qvec"), cents)
-    vectors = (
-        e.select("id", "vec")
-        .join(assign, "id")
-        .withColumn("cell", F.col("cell").cast("string"))
+    vectors = _assign_to(e, cents, carry=("vec",)).withColumn(
+        "cell", F.col("cell").cast("string")
     )
     (
         vectors.repartition("cell")
@@ -100,9 +102,9 @@ def build_ann_index(
         "iterations": iterations,
         "id_col": id_col,
         "vec_col": vec_col,
-        "rows": embeddings.count(),
+        "rows": n_rows,
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
+    with open(mpath, "w") as f:
         json.dump(manifest, f)
     return manifest
 
@@ -115,14 +117,17 @@ def _probed_cells(
     same order the assignment uses)."""
     import numpy as np
 
+    from galago_git_spark.operators.simsearch import _quantize_np
+
     rows = sorted(
         spark.read.parquet(os.path.join(path, "centroids")).collect(),
         key=lambda r: r["cent_id"],
     )
     c_mat = np.stack([np.asarray(r["cvec"], dtype=np.int64) for r in rows])
-    q = np.asarray(
-        [int(round(float(x) * 1000)) for x in query_vec], dtype=np.int64
-    )
+    # _quantize_np, NOT Python round(): Spark/DuckDB round half away from
+    # zero while Python rounds half to even — a .5 boundary component
+    # would probe different cells than the engine assigned
+    q = _quantize_np(np.asarray([float(x) for x in query_vec]))
     dots = c_mat @ q
     order = sorted(range(len(rows)), key=lambda i: (-dots[i], rows[i]["cent_id"]))
     return [str(rows[i]["cent_id"]) for i in order[:n_probe]]

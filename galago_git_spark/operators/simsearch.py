@@ -420,10 +420,17 @@ def _seed_centroids(
     )
 
 
-def _assign_to(e: DataFrame, cents: DataFrame, impl: str = "arrow") -> DataFrame:
-    """(id, cell): nearest centroid by EXACT integer dot product with
-    lowest-centroid-id tie-break — identical on every engine and cluster
-    size.
+def _assign_to(
+    e: DataFrame,
+    cents: DataFrame,
+    impl: str = "arrow",
+    carry: tuple = (),
+) -> DataFrame:
+    """(id, cell[, *carry]): nearest centroid by EXACT integer dot product
+    with lowest-centroid-id tie-break — identical on every engine and
+    cluster size. ``carry`` names extra columns of ``e`` to pass through
+    untouched (they ride the same Arrow batch, so callers that need the
+    payload alongside the cell avoid a second corpus scan + id join).
 
     ``impl="arrow"`` (default): the tiny centroid matrix rides the UDF
     closure and each Arrow batch is assigned by one exact int64 matmul +
@@ -449,14 +456,15 @@ def _assign_to(e: DataFrame, cents: DataFrame, impl: str = "arrow") -> DataFrame
                 dots = m @ c_mat  # exact int64
                 # argmax returns the FIRST max -> lowest cent_id tie-break
                 best = np.argmax(dots, axis=1)
-                yield pd.DataFrame({"id": pdf["id"], "cell": ids[best]})
+                out = {"id": pdf["id"], "cell": ids[best]}
+                for c in carry:
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
 
-        return e.mapInPandas(
-            assign,
-            schema=(
-                f"id {_id_type(e, 'id')}, cell {_id_type(cents, 'cent_id')}"
-            ),
-        )
+        schema = f"id {_id_type(e, 'id')}, cell {_id_type(cents, 'cent_id')}"
+        for c in carry:
+            schema += f", {c} {_id_type(e, c)}"
+        return e.mapInPandas(assign, schema=schema)
     scored = e.join(F.broadcast(cents)).withColumn(
         "dot", _int_dot(F.col("qvec"), F.col("cvec"))
     )
@@ -464,7 +472,7 @@ def _assign_to(e: DataFrame, cents: DataFrame, impl: str = "arrow") -> DataFrame
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("id", F.col("cent_id").alias("cell"))
+        .select("id", F.col("cent_id").alias("cell"), *carry)
     )
 
 
@@ -569,8 +577,13 @@ def ivf_cosine_topk(
         F.col(id_col).alias("id"), _quantize(F.col(vec_col)).alias("qvec")
     )
     assign = _assign_to(e, cents)
-    qq = [int(round(float(x) * 1000)) for x in query_vec]
-    qarr = F.array(*[F.lit(v).cast("long") for v in qq])
+    import numpy as np
+
+    # _quantize_np, not Python round(): Spark/DuckDB round half away from
+    # zero, Python half to even — keep the probe dots bit-identical to
+    # the assignment plane on .5 boundaries
+    qq = _quantize_np(np.asarray([float(x) for x in query_vec])).tolist()
+    qarr = F.array(*[F.lit(int(v)).cast("long") for v in qq])
     probed = (
         cents.withColumn("dot", _int_dot(qarr, F.col("cvec")))
         .orderBy(F.col("dot").desc(), F.col("cent_id").asc())

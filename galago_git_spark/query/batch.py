@@ -72,11 +72,12 @@ def batch_bm25_topk(
     cs = index.collection_stats
     avgdl = cs.avg_doc_length
 
-    qrows = query_terms.select("qid", "term", "w").collect()
+    qt_slim = query_terms.select("qid", "term", "w")
+    qrows = qt_slim.collect()
     batch_terms = sorted({r["term"] for r in qrows})
+    # rebuild under the INPUT's schema so qid/w types pass through
     qt_local = index.spark.createDataFrame(
-        [(r["qid"], r["term"], r["w"]) for r in qrows],
-        "qid string, term string, w double",
+        [(r["qid"], r["term"], r["w"]) for r in qrows], qt_slim.schema
     )
     postings = index.postings
     termstats = index.termstats

@@ -273,7 +273,14 @@ def compile_count(
             ind.select("doc"), "doc", "left_anti"
         )
     if op in _CUSTOM_COUNT_OPS:
-        return _CUSTOM_COUNT_OPS[op](node, index, compile_count)
+        # the compile callback passed to the user fn is pre-bound to THIS
+        # call's need_positions, so a custom op beneath a window/#inside
+        # ancestor compiles its children on the positional path by
+        # default (the fn may still override the keyword explicitly)
+        def _cc(n, idx=index, need_positions=need_positions):
+            return compile_count(n, idx, need_positions)
+
+        return _CUSTOM_COUNT_OPS[op](node, index, _cc)
     raise ValueError(f"unsupported count operator: #{op}")
 
 
@@ -628,9 +635,12 @@ def register_count_op(name: str, frame_fn) -> None:
     count-typed subtree is legal (under any scorer, inside #combine via
     the implicit default-scorer cast, as a #require/#reject candidate...).
     ``frame_fn(node, index, compile_count) -> DataFrame(doc, tf,
-    positions)`` receives the query node, the Index handle, and
-    ``compile_count`` itself for compiling children — the count-iterator
-    half of FeatureFactory's external operator lookup
+    positions)`` receives the query node, the Index handle, and a
+    ``compile_count`` callback for compiling children — pre-bound to the
+    enclosing call's ``need_positions``, so children compile on the
+    positional path whenever a window/#inside ancestor will consume the
+    result's positions — the count-iterator half of FeatureFactory's
+    external operator lookup
     (``FeatureFactory.java:157-206``; :func:`register_scorer` is the
     scoring half). Built-in operator names and alias spellings cannot be
     shadowed."""

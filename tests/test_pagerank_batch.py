@@ -131,3 +131,17 @@ def test_batch_matches_executor_on_random_logs(spark, batch_idx, log):
         assert [d for d, _ in got] == [d for d, _ in want], q["text"]
         for (_, s1), (_, s2) in zip(got, want):
             assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_batch_preserves_nonstring_qid_types(spark, batch_idx):
+    # the collected-rows rebuild must keep the INPUT frame's qid/w types
+    # (integer TREC topic numbers are legal)
+    from galago_git_spark.query.batch import batch_bm25_topk
+
+    qt = spark.createDataFrame(
+        [(1, "def", 1.0), (2, "return", 1.0)],
+        "qid int, term string, w double",
+    )
+    rows = batch_bm25_topk(batch_idx, qt, k=3).collect()
+    assert rows and isinstance(rows[0]["qid"], int)
+    assert {r["qid"] for r in rows} == {1, 2}

@@ -255,3 +255,42 @@ def test_syn_count_context_keeps_part_rewrite(spark, windowed_index):
         for r in compile_count(outer, idx_nopart).select("doc", "tf").collect()
     }
     assert a_o == b_o
+
+
+def test_custom_count_op_under_window_gets_positions(spark, windowed_index):
+    """register_count_op's compile callback is pre-bound to the caller's
+    need_positions: a custom op beneath #uw must compile its children on
+    the positional path (r3 review finding — the part rewrite's null
+    positions would crash the window kernel)."""
+    from galago_git_spark.query.executor import (
+        register_count_op,
+        unregister_count_op,
+    )
+
+    idx = open_index(spark, windowed_index)
+
+    def double(node, index, compile_count):
+        return compile_count(node.children[0], index).withColumn(
+            "tf", F.col("tf") * 2
+        )
+
+    register_count_op("double", double)
+    try:
+        node = transform(parse("#uw:20(#double(#od:1(def return)) class)"))
+        got = {
+            (r["doc"], r["tf"])
+            for r in compile_count(node, idx).select("doc", "tf").collect()
+        }
+        idx_nopart = open_index(spark, windowed_index)
+        idx_nopart.window_parts = None
+        want = {
+            (r["doc"], r["tf"])
+            for r in compile_count(node, idx_nopart).select("doc", "tf").collect()
+        }
+        assert got == want
+        # and in a pure count context the part rewrite stays available
+        plain = transform(parse("#double(#od:1(def return))"))
+        plan = compile_count(plain, idx)._jdf.queryExecution().toString()
+        assert "window.od1.2" in plan
+    finally:
+        unregister_count_op("double")
