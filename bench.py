@@ -138,6 +138,24 @@ def main() -> None:
                 ).collect()
                 warm.append(time.perf_counter() - t0)
             timings["q_bm25_wand_top10_warm"] = round(sorted(warm)[1], 4)
+            # the north-rule metric verbatim: BM25 top-10 p50 over a
+            # QUERY SET (12 distinct two/three-term queries, held-open
+            # reader — the batch-search regime TimedBatchSearch reports)
+            wand_qs = [
+                ["table", "row"], ["merge", "scan"], ["query", "filter"],
+                ["hash", "join"], ["data", "value"], ["sort", "group"],
+                ["index", "stream"], ["batch", "window"], ["key", "part"],
+                ["line", "order"], ["fast", "slow"], ["table", "row", "merge"],
+            ]
+            lats = []
+            for terms in wand_qs:
+                t0 = time.perf_counter()
+                wand_topk(spark, index_dir, terms, k=10, reader=reader).collect()
+                lats.append(time.perf_counter() - t0)
+            lats.sort()
+            timings["q_bm25_wand_p50_12q"] = round(
+                (lats[5] + lats[6]) / 2, 4
+            )
             # #sdm on both tiers: the packed path computes window tfs from
             # position payloads inside the bucket kernel (query/wand.py
             # wand_sdm_topk) vs the relational join path
