@@ -109,6 +109,53 @@ def build_ann_index(
     return manifest
 
 
+def append_to_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+) -> dict:
+    """Append new vectors to an existing part — the ANN analog of the
+    fulltext plane's incremental indexer. The STORED centroids assign the
+    new batch (one broadcast scan, no re-clustering: cell geometry is
+    frozen at build time, the standard IVF increment), rows land in their
+    cell directories via parquet dynamic-partition append, and the
+    manifest's row count updates LAST (an interrupted append leaves a
+    manifest that undercounts, which the resume check treats as a
+    mismatch — the part stays probe-consistent because appends never
+    overwrite).
+
+    Column names default to the manifest's. Returns the updated
+    manifest."""
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    id_col = id_col or manifest["id_col"]
+    vec_col = vec_col or manifest["vec_col"]
+    spark = embeddings.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+
+    n_new = embeddings.count()
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _quantize(F.col(vec_col)).alias("qvec"),
+    )
+    vectors = _assign_to(e, cents, carry=("vec",)).withColumn(
+        "cell", F.col("cell").cast("string")
+    )
+    (
+        vectors.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    manifest["rows"] = manifest["rows"] + n_new
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
 def _probed_cells(
     spark: SparkSession, path: str, query_vec: list[float], n_probe: int
 ) -> list[str]:

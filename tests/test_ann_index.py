@@ -191,3 +191,30 @@ def test_ann_search_cli_validates_arguments():
     )
     assert out.returncode != 0
     assert "provide --vector" in (out.stderr + out.stdout)
+
+
+def test_append_matches_full_build(spark, emb, tmp_path):
+    """Incremental append: build on the low-id half (which owns every
+    seed centroid), append the rest — probes must equal a one-shot build
+    over the full corpus (same frozen cell geometry)."""
+    from galago_git_spark.operators.ann_index import append_to_ann_index
+
+    lo = emb.filter(F.col("vec_id") < 250)
+    hi = emb.filter(F.col("vec_id") >= 250)
+    d_inc = str(tmp_path / "ivf_inc")
+    d_full = str(tmp_path / "ivf_full")
+    build_ann_index(lo, d_inc, n_cells=8)
+    m = append_to_ann_index(hi, d_inc)
+    assert m["rows"] == emb.count()
+    build_ann_index(emb, d_full, n_cells=8)
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    inc = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ann_index_topk(spark, d_inc, qvec, k=10, n_probe=4).collect()
+    ]
+    full = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ann_index_topk(spark, d_full, qvec, k=10, n_probe=4).collect()
+    ]
+    assert inc == full and len(inc) == 10
