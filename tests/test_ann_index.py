@@ -218,3 +218,22 @@ def test_append_matches_full_build(spark, emb, tmp_path):
         for r in ann_index_topk(spark, d_full, qvec, k=10, n_probe=4).collect()
     ]
     assert inc == full and len(inc) == 10
+
+
+def test_reader_probe_matches_pathonly_probe(spark, emb, ann_part):
+    from galago_git_spark.operators.ann_index import AnnReader
+
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    reader = AnnReader(spark, ann_part)
+    assert reader.manifest["n_cells"] == 16
+    a = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ann_index_topk(
+            spark, ann_part, qvec, k=10, n_probe=4, reader=reader
+        ).collect()
+    ]
+    b = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ann_index_topk(spark, ann_part, qvec, k=10, n_probe=4).collect()
+    ]
+    assert a == b and len(a) == 10
