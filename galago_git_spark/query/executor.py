@@ -277,8 +277,8 @@ def compile_count(
         # call's need_positions, so a custom op beneath a window/#inside
         # ancestor compiles its children on the positional path by
         # default (the fn may still override the keyword explicitly)
-        def _cc(n, idx=index, need_positions=need_positions):
-            return compile_count(n, idx, need_positions)
+        def _cc(node, index=index, need_positions=need_positions):
+            return compile_count(node, index, need_positions)
 
         return _CUSTOM_COUNT_OPS[op](node, index, _cc)
     raise ValueError(f"unsupported count operator: #{op}")

@@ -154,12 +154,13 @@ def test_rebuild_removes_stale_manifest_first(spark, emb, tmp_path):
     m = build_ann_index(emb, d, n_cells=8, resume=False)
     assert m == old  # same params -> same manifest content, rebuilt part
 
-    # a manifest that matches nothing on disk (hand-planted) must not
-    # satisfy resume when the corpus row count changed
+    # a manifest whose BASE corpus count disagrees with the input must
+    # not satisfy resume (rows alone may legitimately exceed base_rows
+    # after appends — base_rows is the resume key)
     with open(mpath, "w") as f:
-        _json.dump({**old, "rows": old["rows"] + 1}, f)
+        _json.dump({**old, "base_rows": old["base_rows"] + 1}, f)
     m2 = build_ann_index(emb, d, n_cells=8)
-    assert m2["rows"] == old["rows"]
+    assert m2["base_rows"] == old["base_rows"]
 
 
 def test_probe_quantization_matches_engine(spark):
@@ -237,3 +238,65 @@ def test_reader_probe_matches_pathonly_probe(spark, emb, ann_part):
         for r in ann_index_topk(spark, ann_part, qvec, k=10, n_probe=4).collect()
     ]
     assert a == b and len(a) == 10
+
+
+def test_build_retry_after_append_resumes_not_rebuilds(spark, emb, tmp_path):
+    """An idempotent build retry over the ORIGINAL corpus must resume
+    (base_rows matches) and keep appended vectors — not silently rebuild
+    and drop them (r3 review finding)."""
+    from galago_git_spark.operators.ann_index import append_to_ann_index
+
+    lo = emb.filter(F.col("vec_id") < 250)
+    hi = emb.filter(F.col("vec_id") >= 250)
+    d = str(tmp_path / "ivf_retry")
+    build_ann_index(lo, d, n_cells=8)
+    append_to_ann_index(hi, d)
+    m = build_ann_index(lo, d, n_cells=8)  # retry of the original build
+    assert m["rows"] == emb.count() and m["base_rows"] == lo.count()
+    # appended vector still probe-visible
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 300).first()["embedding"]
+    ]
+    top = ann_index_topk(spark, d, qvec, k=1, n_probe=8).collect()
+    assert top[0]["id"] == 300
+
+
+def test_reader_refresh_sees_appended_vectors(spark, emb, tmp_path):
+    from galago_git_spark.operators.ann_index import (
+        AnnReader,
+        append_to_ann_index,
+    )
+
+    lo = emb.filter(F.col("vec_id") < 250)
+    hi = emb.filter(F.col("vec_id") >= 250)
+    d = str(tmp_path / "ivf_refresh")
+    build_ann_index(lo, d, n_cells=8)
+    reader = AnnReader(spark, d)
+    append_to_ann_index(hi, d)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 300).first()["embedding"]
+    ]
+    stale = ann_index_topk(spark, d, qvec, k=1, n_probe=8, reader=reader).collect()
+    assert stale[0]["id"] != 300  # documented snapshot semantics
+    fresh = ann_index_topk(
+        spark, d, qvec, k=1, n_probe=8, reader=reader.refresh()
+    ).collect()
+    assert fresh[0]["id"] == 300
+
+
+def test_oneshot_probe_works_without_manifest(spark, emb, tmp_path):
+    # the mid-rebuild window deletes manifest.json while the old part
+    # files remain valid — probes must keep serving from them
+    d = str(tmp_path / "ivf_nomani")
+    build_ann_index(emb, d, n_cells=8)
+    os.remove(os.path.join(d, "manifest.json"))
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    top = ann_index_topk(spark, d, qvec, k=3, n_probe=8).collect()
+    assert len(top) == 3 and top[0]["id"] == 0
+    from galago_git_spark.operators.ann_index import AnnReader
+
+    r = AnnReader(spark, d)
+    assert r.manifest is None
+    assert len(ann_index_topk(spark, d, qvec, k=3, n_probe=8, reader=r).collect()) == 3
