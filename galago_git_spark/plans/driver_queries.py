@@ -1862,6 +1862,52 @@ SELECT doc,
 FROM v"""
 
 
+def q_trectext_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through on-disk TREC-text files and
+    the distributed format reader (sources/formats.py — the
+    TrecTextParser/UniversalParser plane, TrecTextParser.java:57-116):
+    render -> parse -> unwrap must reproduce (doc_id, text) exactly.
+    One shard is gzip-compressed to exercise the getBufferedReader path
+    (DocumentStreamParser.java:131)."""
+    import gzip as _gzip
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from galago_git_spark.sources.formats import read_corpus_files
+
+    rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = f"/tmp/galago_trectext_{key}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(tmp)
+    shards: list[list[str]] = [[] for _ in range(4)]
+    for r in rows:
+        shards[int(r["doc_id"]) % 4].append(
+            f"<DOC>\n<DOCNO> {r['doc_id']} </DOCNO>\n"
+            f"<TEXT>\n{r['text']}\n</TEXT>\n</DOC>\n"
+        )
+    for i, docs_i in enumerate(shards):
+        blob = "".join(docs_i).encode()
+        if i == 0:
+            with open(f"{tmp}/part{i}.trectext.gz", "wb") as f:
+                f.write(_gzip.compress(blob))
+        else:
+            with open(f"{tmp}/part{i}.trectext", "wb") as f:
+                f.write(blob)
+    parsed = read_corpus_files(spark, tmp, fmt="trectext")
+    # text = "<TEXT>\n" + content + "\n</TEXT>\n"  ->  strip 7 + 9 chars
+    return parsed.select(
+        F.col("name"),
+        F.expr("substring(text, 8, length(text) - 16)").alias("content"),
+    )
+
+
+SQL_TRECTEXT_PARSE = (
+    "SELECT CAST(doc_id AS VARCHAR) AS name, text AS content FROM documents"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fti_postings": q_postings,
@@ -1935,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_part_topk": q_ann_ivf_part_topk,
         "ann_lsh_buckets": q_lsh_buckets,
         "dedup_embedding_cosine": q_embedding_cosine_pairs,
+        "fti_trectext_parse": q_trectext_parse,
     }
 
 
@@ -2011,4 +2058,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_part_topk": SQL_ANN_IVF,
         "ann_lsh_buckets": SQL_LSH_BUCKETS,
         "dedup_embedding_cosine": SQL_EMB_PAIRS,
+        "fti_trectext_parse": SQL_TRECTEXT_PARSE,
     }

@@ -1,0 +1,338 @@
+"""Distributed file-format corpus readers — the UniversalParser plane.
+
+The reference ingests raw document files through per-format stream
+parsers selected by file extension (``parse/DocumentStreamParser.java:
+40-63`` extension->parser map, ``:131`` gz/bz2 wrapping), fanned out one
+parser instance per file split (``BuildIndex.java:676`` getSplitStage,
+``parse/DocumentSource.java``). This module is that plane re-expressed
+Spark-first:
+
+- ``spark.read.format("binaryFile")`` enumerates and reads the files —
+  the DocumentSource/DocumentSplit analog (one file = one split = one
+  task; at 10^12-file scale the listing itself is distributed and the
+  parse stage is embarrassingly parallel, exactly like the reference's
+  parsePostings fan-out).
+- a ``mapInPandas`` stage runs the pure-Python per-format parser over
+  each file's bytes, yielding one output frame per file so a task never
+  holds more than one decoded file plus its parsed rows.
+
+Parsers implemented (same extension names as the reference map):
+``trectext`` (``parse/TrecTextParser.java:57-116``), ``trecweb``
+(``parse/TrecWebParser.java:73-104``), ``warc``
+(``parse/WARCParser.java:44-87``, ``parse/WARCRecord.java``), ``txt`` /
+``html`` / ``xml`` (``parse/FileParser.java`` — whole file is one
+document), ``jsonl`` / ``tsv`` (``parse/FileLineParser.java`` — one
+document per line). ``.gz`` / ``.bz2`` suffixes are decompressed first
+and the next suffix picks the parser, mirroring getBufferedReader.
+
+Output schema: ``(name string, url string, text string, file string)``.
+``as_corpus`` maps it onto the build pipeline's corpus columns.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import json
+import os
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARSED_SCHEMA = "name string, url string, text string, file string"
+
+# TrecTextParser.java:70-75 — tag sections captured into the document text
+_TREC_START = ("<TEXT>", "<HEADLINE>", "<TITLE>", "<HL>", "<HEAD>",
+               "<TTL>", "<DD>", "<DATE>", "<LP>", "<LEADPARA>")
+_TREC_END = ("</TEXT>", "</HEADLINE>", "</TITLE>", "</HL>", "</HEAD>",
+             "</TTL>", "</DD>", "</DATE>", "</LP>", "</LEADPARA>")
+
+
+def _lines(data: bytes) -> list[str]:
+    # BufferedReader.readLine semantics: terminators stripped, \r\n ok
+    return data.decode("utf-8", errors="replace").splitlines()
+
+
+def parse_trectext(data: bytes, file: str) -> Iterator[tuple]:
+    """TrecTextParser.java:57-116 line-for-line semantics: docs delimited
+    by <DOC>, identifier from <DOCNO> (may span lines), text = only the
+    whitelisted tag sections INCLUDING the tag lines themselves."""
+    lines = _lines(data)
+    i, n = 0, len(lines)
+    while True:
+        while i < n and not lines[i].startswith("<DOC>"):
+            i += 1
+        if i >= n:
+            return
+        i += 1
+        # parseDocNumber: accumulate from the <DOCNO> line until </DOCNO>
+        while i < n and not lines[i].startswith("<DOCNO>"):
+            i += 1
+        if i >= n:
+            return
+        all_text = lines[i]
+        i += 1
+        while "</DOCNO>" not in all_text and i < n:
+            all_text += lines[i]
+            i += 1
+        s = all_text.index("<DOCNO>") + 7
+        e = all_text.index("</DOCNO>")
+        identifier = all_text[s:e].strip()
+        buf: list[str] = []
+        in_tag = -1
+        while i < n:
+            line = lines[i]
+            i += 1
+            if line.startswith("</DOC>"):
+                break
+            if line.startswith("<"):
+                if in_tag >= 0 and line.startswith(_TREC_END[in_tag]):
+                    in_tag = -1
+                    buf.append(line)
+                    continue
+                if in_tag < 0:
+                    for ti, t in enumerate(_TREC_START):
+                        if line.startswith(t):
+                            in_tag = ti
+                            break
+            if in_tag >= 0:
+                buf.append(line)
+        yield identifier, None, "".join(x + "\n" for x in buf), file
+
+
+def scrub_url(url: str) -> str:
+    """TrecWebParser.java:44-59."""
+    if url.endswith("#"):
+        url = url[:-1]
+    url = url.lower()
+    url = url.replace(":80/", "/")
+    if url.endswith(":80"):
+        url = url[:-3]
+    while url.endswith("/"):
+        url = url[:-1]
+    return url
+
+
+def parse_trecweb(data: bytes, file: str) -> Iterator[tuple]:
+    """TrecWebParser.java:73-104: one-line <DOCNO>, url = first token of
+    the line after <DOCHDR> (scrubbed), text = everything after </DOCHDR>
+    up to </DOC> (no tag whitelist)."""
+    lines = _lines(data)
+    i, n = 0, len(lines)
+
+    def wait_for(tag: str) -> str | None:
+        nonlocal i
+        while i < n:
+            line = lines[i]
+            i += 1
+            if line.startswith(tag):
+                return line
+        return None
+
+    while True:
+        if wait_for("<DOC>") is None:
+            return
+        ident_line = wait_for("<DOCNO>")
+        if ident_line is None:
+            return
+        identifier = ident_line[7:].strip()
+        identifier = identifier[: len(identifier) - 8].strip()
+        if wait_for("<DOCHDR>") is None:
+            return
+        url_line = lines[i] if i < n else ""
+        i += 1
+        space = url_line.find(" ")
+        url = scrub_url(url_line[: space if space >= 0 else len(url_line)])
+        if wait_for("</DOCHDR>") is None:
+            return
+        buf: list[str] = []
+        while i < n:
+            line = lines[i]
+            i += 1
+            if line.startswith("</DOC>"):
+                break
+            buf.append(line)
+        yield identifier, url, "".join(x + "\n" for x in buf), file
+
+
+_HDR_SPLIT = re.compile(rb"\r?\n\r?\n")
+_BODY_SPLIT = re.compile(r"\n\n|\r\n\r\n")
+
+
+def _read_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Minimal WARC/0.x-1.x reader (WARCRecord.java readNextWarcRecord):
+    version line, header lines to the blank line, Content-Length body."""
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip record separators / leading blank lines
+        nl = data.find(b"WARC/", pos)
+        if nl < 0:
+            return
+        head_end = _HDR_SPLIT.search(data, nl)
+        if head_end is None:
+            return
+        header_block = data[nl:head_end.start()].decode("utf-8", errors="replace")
+        headers: dict[str, str] = {}
+        for line in header_block.splitlines()[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip()] = v.strip()
+        try:
+            clen = int(headers.get("Content-Length", "0"))
+        except ValueError:
+            clen = 0
+        body_start = head_end.end()
+        body = data[body_start:body_start + clen]
+        pos = body_start + clen
+        yield headers, body
+
+
+def parse_warc(data: bytes, file: str) -> Iterator[tuple]:
+    """WARCParser.java:44-87: the first record is the file header
+    (skipped); id from WARC-Record-ID / WARC-TREC-ID / WARC-DOC-ID; the
+    content's own header block (up to the first blank line) is split off
+    the text; url from WARC-Target-URI."""
+    first = True
+    for headers, body in _read_warc_records(data):
+        if first:
+            first = False
+            continue
+        doc_id = (headers.get("WARC-Record-ID")
+                  or headers.get("WARC-TREC-ID")
+                  or headers.get("WARC-DOC-ID") or "")
+        text = body.decode("utf-8", errors="replace")
+        m = _BODY_SPLIT.search(text)
+        if m:
+            text = text[m.end():]
+        yield doc_id, headers.get("WARC-Target-URI"), text, file
+
+
+def _strip_known_extensions(name: str) -> str:
+    # FileParser.stripExtensions (FileParser.java:39-55)
+    for ext in (".bz", ".bz2", ".gz", ".html", ".xml", ".txt"):
+        if name.endswith(ext):
+            name = name[: -len(ext)]
+    return name
+
+
+def _parse_wholefile(identifier_mode: str):
+    def parse(data: bytes, file: str) -> Iterator[tuple]:
+        name = file
+        if identifier_mode == "stripped":
+            name = os.path.basename(_strip_known_extensions(file))
+        yield name, None, data.decode("utf-8", errors="replace"), file
+
+    return parse
+
+
+def parse_jsonl(data: bytes, file: str) -> Iterator[tuple]:
+    for ln, line in enumerate(_lines(data)):
+        if not line.strip():
+            continue
+        obj = json.loads(line)
+        name = str(obj.get("name", obj.get("id", obj.get("doc_id", f"{file}:{ln}"))))
+        yield name, obj.get("url"), str(obj.get("text", obj.get("content", ""))), file
+
+
+def parse_tsv(data: bytes, file: str) -> Iterator[tuple]:
+    # FileLineParser-style: one document per line, "name \t text"
+    for ln, line in enumerate(_lines(data)):
+        if not line:
+            continue
+        name, _, text = line.partition("\t")
+        if not text:
+            name, text = f"{file}:{ln}", line
+        yield name, None, text, file
+
+
+def format_parsers(identifier: str = "filename") -> dict:
+    """Extension -> parser map (DocumentStreamParser.java:40-63)."""
+    whole = _parse_wholefile(identifier)
+    return {
+        "trectext": parse_trectext,
+        "trecweb": parse_trecweb,
+        "warc": parse_warc,
+        "txt": whole,
+        "html": whole,
+        "xml": whole,
+        "jsonl": parse_jsonl,
+        "tsv": parse_tsv,
+    }
+
+
+def _decompress(path: str, data: bytes) -> tuple[str, bytes]:
+    if path.endswith(".gz"):
+        return path[:-3], gzip.decompress(data)
+    if path.endswith(".bz2"):
+        return path[:-4], bz2.decompress(data)
+    return path, data
+
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
+def read_corpus_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    identifier: str = "filename",
+    glob: str | None = None,
+    extra_parsers: dict | None = None,
+) -> DataFrame:
+    """Parse a directory/glob of document files into ``(name, url, text,
+    file)`` rows, one task per file. ``fmt=None`` picks the parser from
+    each file's extension after peeling ``.gz``/``.bz2`` (the
+    UniversalParser behavior); ``fmt="x"`` forces one parser.
+    ``extra_parsers`` registers external formats by name — the
+    ``parserParameters/externalParsers`` hook
+    (DocumentStreamParser.java:55-59)."""
+    parsers = format_parsers(identifier)
+    if extra_parsers:
+        parsers.update(extra_parsers)
+    if fmt is not None and fmt not in parsers:
+        raise ValueError(f"unknown corpus format {fmt!r}; known: {sorted(parsers)}")
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p, blob in zip(b["path"], b["content"]):
+                local = _strip_scheme(str(p))
+                local, data = _decompress(local, bytes(blob))
+                f = fmt or local.rsplit(".", 1)[-1].lower()
+                parse = parsers.get(f)
+                if parse is None:
+                    raise ValueError(
+                        f"no parser for {local!r} (extension {f!r}); "
+                        f"pass fmt= or extra_parsers="
+                    )
+                rows = list(parse(data, local))
+                # one frame per file: a task never buffers two decoded files
+                yield pd.DataFrame(
+                    rows, columns=["name", "url", "text", "file"]
+                )
+
+    return files.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def as_corpus(parsed: DataFrame, repo: str = "files") -> DataFrame:
+    """Map parsed rows onto the build pipeline's corpus columns; doc
+    names become ``path`` so ``assign_doc_ids``'s (repo, path, commit)
+    ranking keys on the document identifier."""
+    return parsed.select(
+        F.lit(repo).alias("repo"),
+        F.col("name").alias("path"),
+        F.lit("").alias("commit"),
+        F.lit("").alias("lang"),
+        F.col("text").alias("content"),
+    )

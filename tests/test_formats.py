@@ -1,0 +1,177 @@
+"""File-format corpus readers (sources/formats.py) vs the reference
+parsers' documented semantics (TrecTextParser.java / TrecWebParser.java /
+WARCParser.java / FileParser.java / DocumentStreamParser.java)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from galago_git_spark.sources.formats import (
+    as_corpus,
+    parse_trectext,
+    parse_trecweb,
+    parse_warc,
+    read_corpus_files,
+    scrub_url,
+)
+
+TRECTEXT = """<DOC>
+<DOCNO> WSJ-1 </DOCNO>
+<SOURCE> ignored section </SOURCE>
+<TEXT>
+line one
+line two
+</TEXT>
+<HEADLINE>
+the headline
+</HEADLINE>
+</DOC>
+<DOC>
+<DOCNO>AP-2
+</DOCNO>
+<TEXT>
+solo
+</TEXT>
+</DOC>
+"""
+
+
+def test_trectext_semantics():
+    docs = list(parse_trectext(TRECTEXT.encode(), "f.trectext"))
+    assert [d[0] for d in docs] == ["WSJ-1", "AP-2"]
+    # whitelisted sections only, tag lines INCLUDED (TrecTextParser.java:80-105)
+    assert docs[0][2] == (
+        "<TEXT>\nline one\nline two\n</TEXT>\n"
+        "<HEADLINE>\nthe headline\n</HEADLINE>\n"
+    )
+    assert "ignored" not in docs[0][2]
+    # <DOCNO> spanning lines is accumulated (parseDocNumber)
+    assert docs[1][2] == "<TEXT>\nsolo\n</TEXT>\n"
+
+
+TRECWEB = """<DOC>
+<DOCNO>WEB-7</DOCNO>
+<DOCHDR>
+HTTP://Example.com:80/a/# 200 OK
+content-type: text/html
+</DOCHDR>
+<html>anything
+<goes> here
+</DOC>
+"""
+
+
+def test_trecweb_semantics():
+    docs = list(parse_trecweb(TRECWEB.encode(), "f.trecweb"))
+    assert len(docs) == 1
+    name, url, text, _ = docs[0]
+    assert name == "WEB-7"
+    # scrubUrl: lowercase, :80 gone, trailing / and # gone
+    assert url == "http://example.com/a"
+    # everything after </DOCHDR> captured, no tag whitelist
+    assert text == "<html>anything\n<goes> here\n"
+
+
+def test_scrub_url_cases():
+    assert scrub_url("HTTP://X.com:80") == "http://x.com"
+    assert scrub_url("http://x.com/p/") == "http://x.com/p"
+
+
+def _warc_record(headers: dict[str, str], body: bytes) -> bytes:
+    head = "WARC/1.0\r\n" + "".join(
+        f"{k}: {v}\r\n" for k, v in headers.items()
+    ) + f"Content-Length: {len(body)}\r\n\r\n"
+    return head.encode() + body + b"\r\n\r\n"
+
+
+def test_warc_semantics():
+    data = (
+        _warc_record({"WARC-Type": "warcinfo"}, b"software: test\r\n\r\n")
+        + _warc_record(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": "<urn:uuid:1>",
+             "WARC-Target-URI": "http://a.example/"},
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hello</html>",
+        )
+        + _warc_record(
+            {"WARC-Type": "response", "WARC-TREC-ID": "clueweb-0001"},
+            b"no header split here",
+        )
+    )
+    docs = list(parse_warc(data, "f.warc"))
+    # file-header record skipped (WARCParser constructor reads it)
+    assert len(docs) == 2
+    name, url, text, _ = docs[0]
+    assert name == "<urn:uuid:1>" and url == "http://a.example/"
+    # http header block split off the text (WARCParser.java:73-85)
+    assert text == "<html>hello</html>"
+    # id fallback to WARC-TREC-ID; no blank line -> body kept whole
+    assert docs[1][0] == "clueweb-0001"
+    assert docs[1][2] == "no header split here"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fmt")
+    (d / "a.trectext").write_text(TRECTEXT)
+    (d / "b.trectext.gz").write_bytes(gzip.compress(
+        "<DOC>\n<DOCNO>GZ-1</DOCNO>\n<TEXT>\ncompressed doc\n</TEXT>\n</DOC>\n".encode()
+    ))
+    (d / "c.txt").write_text("plain text file about spark joins")
+    (d / "d.jsonl").write_text(
+        '{"id": "j1", "text": "json doc one"}\n{"id": "j2", "text": "json doc two"}\n'
+    )
+    (d / "e.tsv").write_text("t1\ttab doc one\nt2\ttab doc two\n")
+    return str(d)
+
+
+def test_read_corpus_files_mixed_extensions(spark, corpus_dir):
+    rows = read_corpus_files(spark, corpus_dir).collect()
+    by_name = {r["name"]: r for r in rows}
+    # gz peeled then extension picks the parser (getBufferedReader analog)
+    assert by_name["GZ-1"]["text"] == "<TEXT>\ncompressed doc\n</TEXT>\n"
+    assert {"WSJ-1", "AP-2", "j1", "j2", "t1", "t2"} <= set(by_name)
+    txt = [r for r in rows if r["file"].endswith("c.txt")]
+    assert len(txt) == 1 and txt[0]["text"].startswith("plain text")
+    assert len(rows) == 8
+
+
+def test_forced_format_and_unknown_extension(spark, corpus_dir, tmp_path):
+    (tmp_path / "x.dat").write_text(TRECTEXT)
+    got = read_corpus_files(spark, str(tmp_path), fmt="trectext").collect()
+    assert {r["name"] for r in got} == {"WSJ-1", "AP-2"}
+    with pytest.raises(Exception, match="no parser"):
+        read_corpus_files(spark, str(tmp_path)).collect()
+    with pytest.raises(ValueError, match="unknown corpus format"):
+        read_corpus_files(spark, str(tmp_path), fmt="nope")
+
+
+def test_external_parser_hook(spark, tmp_path):
+    # DocumentStreamParser.java:55-59 external-parser registration analog
+    (tmp_path / "y.rev").write_text("olleh")
+
+    def rev(data: bytes, file: str):
+        yield "r1", None, data.decode()[::-1], file
+
+    got = read_corpus_files(
+        spark, str(tmp_path), extra_parsers={"rev": rev}
+    ).collect()
+    assert got[0]["name"] == "r1" and got[0]["text"] == "hello"
+
+
+def test_end_to_end_build_and_query(spark, corpus_dir, tmp_path):
+    from galago_git_spark.index.build import build_index, open_index
+    from galago_git_spark.query.executor import execute
+
+    corpus = as_corpus(read_corpus_files(spark, corpus_dir))
+    index_dir = str(tmp_path / "idx")
+    build_index(corpus, index_dir, positions=False)
+    idx = open_index(spark, index_dir)
+    got = execute("#combine(spark joins)", idx, k=3).collect()
+    assert len(got) >= 1
+    # the plain-text file is the only doc containing both terms -> rank 1
+    top_doc = got[0]["doc"]
+    name_row = idx.names.filter(f"doc = {top_doc}").collect()[0]
+    assert name_row["path"].endswith("c.txt")
