@@ -56,6 +56,13 @@ def cmd_build(args: argparse.Namespace) -> dict:
 
         n = int(args.input.split(":", 1)[1])
         docs = synthetic_code_corpus(spark, n_docs=n, seed=args.seed)
+    elif getattr(args, "input_format", None):
+        # raw document files (galago build inputPath analog): parse via
+        # sources/formats.py ('auto' = pick parser per file extension)
+        from galago_git_spark.sources.formats import as_corpus, read_corpus_files
+
+        fmt = None if args.input_format == "auto" else args.input_format
+        docs = as_corpus(read_corpus_files(spark, args.input, fmt=fmt))
     else:
         docs = spark.read.parquet(args.input)
 
@@ -784,6 +791,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--cores", type=int, default=8)
     b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--input-format", default=None,
+                   help="treat --input as raw document files of this format "
+                        "(trectext/trecweb/warc/txt/html/xml/jsonl/tsv, or "
+                        "'auto' to pick by extension) instead of parquet")
     b.add_argument("--packed", action="store_true")
     b.add_argument("--positions", action="store_true")
     b.add_argument("--resume", action="store_true")

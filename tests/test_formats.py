@@ -161,6 +161,35 @@ def test_external_parser_hook(spark, tmp_path):
     assert got[0]["name"] == "r1" and got[0]["text"] == "hello"
 
 
+def test_cli_build_from_files(corpus_dir, tmp_path):
+    """galago build over raw files: --input-format routes --input through
+    the format readers instead of parquet."""
+    import json
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "idx")
+    out = subprocess.run(
+        [sys.executable, "-m", "galago_git_spark", "build",
+         "--input", corpus_dir, "--input-format", "auto",
+         "--index", d, "--cores", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    rec = json.loads(
+        [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    )
+    assert rec["n_docs"] == 8
+    r = subprocess.run(
+        [sys.executable, "-m", "galago_git_spark", "search",
+         "--index", d, "--query", "#combine(spark joins)", "--cores", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    res = json.loads(
+        [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    )
+    assert res["results"], res
+
+
 def test_end_to_end_build_and_query(spark, corpus_dir, tmp_path):
     from galago_git_spark.index.build import build_index, open_index
     from galago_git_spark.query.executor import execute
