@@ -21,8 +21,10 @@ Parsers implemented (same extension names as the reference map):
 (``parse/TrecWebParser.java:73-104``), ``warc``
 (``parse/WARCParser.java:44-87``, ``parse/WARCRecord.java``), ``txt`` /
 ``html`` / ``xml`` (``parse/FileParser.java`` — whole file is one
-document), ``jsonl`` / ``tsv`` (``parse/FileLineParser.java`` — one
-document per line). ``.gz`` / ``.bz2`` suffixes are decompressed first
+document), ``twitter`` (``parse/TwitterParser.java``), ``arc``
+(``parse/ArcParser.java``), ``wiki`` (``parse/WikiParser.java``),
+``jsonl`` / ``tsv`` (``parse/FileLineParser.java`` — one document per
+line). ``.gz`` / ``.bz2`` suffixes are decompressed first
 and the next suffix picks the parser, mirroring getBufferedReader.
 
 Output schema: ``(name string, url string, text string, file string)``.
@@ -210,6 +212,89 @@ def parse_warc(data: bytes, file: str) -> Iterator[tuple]:
         yield doc_id, headers.get("WARC-Target-URI"), text, file
 
 
+def parse_twitter(data: bytes, file: str) -> Iterator[tuple]:
+    """TwitterParser.java:39-59: one tweet per line, tab-separated
+    ``user timestamp tweet source``; malformed lines skipped."""
+    for line in _lines(data):
+        fields = line.split("\t")
+        if len(fields) == 4:
+            user, ts, tweet, _source = fields
+            yield f"{user}-{ts}", None, tweet, file
+
+
+def parse_arc(data: bytes, file: str) -> Iterator[tuple]:
+    """Heritrix ARC records (ArcParser.java:48-94): header line
+    ``url ip date content-type length``, then ``length`` bytes; the
+    server-header block ends at the first double newline."""
+    pos, n = 0, len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 1] == b"\n":
+            pos += 1
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            return
+        header = data[pos:eol].decode("utf-8", errors="replace")
+        fields = header.split(" ")
+        if len(fields) < 5:
+            return
+        try:
+            length = int(fields[4])
+        except ValueError:
+            return
+        body = data[eol + 1:eol + 1 + length].decode("utf-8", errors="replace")
+        pos = eol + 1 + length + 1  # + trailing newline
+        # findDoubleNewline: text starts after the second consecutive \n
+        head_end = body.find("\n\n")
+        text = body if head_end < 0 else body[head_end + 1:]
+        yield fields[0], fields[0], text, file
+
+
+_WIKI_TAG = {
+    t: re.compile(rf"<{t}[^>]*>(.*?)</{t}>", re.S) for t in
+    ("id", "title", "timestamp", "text")
+}
+_WIKI_PREFIX_WHITELIST = ("Category:",)
+
+
+def parse_wiki(data: bytes, file: str) -> Iterator[tuple]:
+    """MediaWiki XML dumps (WikiParser.java:55-146): <page> blocks;
+    name = "w" + first <id>; titles containing ':' are dropped unless
+    whitelisted (Category:); document text = <title>/<timestamp> header +
+    page text, lowercased. Divergence from the reference: the wikitext is
+    passed through raw rather than rendered to HTML (the reference uses
+    the external bliki renderer); tag structure and filtering match."""
+    lines = _lines(data)
+    page: list[str] | None = None
+    for line in lines:
+        s = line.strip()
+        if s.startswith("<page>"):
+            page = [line]
+        elif s.startswith("</page>"):
+            if page is None:
+                continue
+            page.append(line)
+            block = "\n".join(page) + "\n"
+            page = None
+            tags = {}
+            for t, rx in _WIKI_TAG.items():
+                m = rx.search(block)
+                tags[t] = m.group(1) if m else ""
+            title = tags["title"]
+            if ":" in title and not title.startswith(_WIKI_PREFIX_WHITELIST):
+                continue
+            if not tags["id"]:
+                continue
+            text = (
+                f"<title>{title}</title>\n"
+                f"<timestamp>{tags['timestamp']}</timestamp>\n"
+                + tags["text"]
+            ).lower()
+            url = f"http://en.wikipedia.org/wiki/{title}"
+            yield f"w{int(tags['id'])}", url, text, file
+        elif page is not None:
+            page.append(line)
+
+
 def _strip_known_extensions(name: str) -> str:
     # FileParser.stripExtensions (FileParser.java:39-55)
     for ext in (".bz", ".bz2", ".gz", ".html", ".xml", ".txt"):
@@ -260,6 +345,9 @@ def format_parsers(identifier: str = "filename") -> dict:
         "xml": whole,
         "jsonl": parse_jsonl,
         "tsv": parse_tsv,
+        "twitter": parse_twitter,
+        "arc": parse_arc,
+        "wiki": parse_wiki,
     }
 
 

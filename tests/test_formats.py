@@ -112,6 +112,77 @@ def test_warc_semantics():
     assert docs[1][2] == "no header split here"
 
 
+def test_twitter_semantics():
+    from galago_git_spark.sources.formats import parse_twitter
+
+    data = (
+        "alice\t20240101\thello world\tweb\n"
+        "malformed line\n"
+        "bob\t20240102\tsecond tweet\tapi\n"
+    ).encode()
+    docs = list(parse_twitter(data, "t.twitter"))
+    assert [(d[0], d[2]) for d in docs] == [
+        ("alice-20240101", "hello world"),
+        ("bob-20240102", "second tweet"),
+    ]
+
+
+def test_arc_semantics():
+    from galago_git_spark.sources.formats import parse_arc
+
+    body1 = "HTTP/1.0 200 OK\nContent-Type: text/html\n\n<html>arc doc</html>"
+    body2 = "no header here"
+    data = (
+        f"http://a.example/x 1.2.3.4 20070312 text/html {len(body1)}\n{body1}\n"
+        f"http://b.example/y 1.2.3.5 20070313 text/plain {len(body2)}\n{body2}\n"
+    ).encode()
+    docs = list(parse_arc(data, "f.arc"))
+    assert [d[0] for d in docs] == ["http://a.example/x", "http://b.example/y"]
+    # server header split at the double newline (ArcParser.findDoubleNewline:
+    # text starts at the second \n, so it keeps one leading newline)
+    assert docs[0][2] == "\n<html>arc doc</html>"
+    assert docs[1][2] == "no header here"
+
+
+WIKI = """<mediawiki>
+<page>
+<title>Spark (software)</title>
+<id>42</id>
+<revision><id>999</id>
+<timestamp>2020-01-01T00:00:00Z</timestamp>
+<text xml:space="preserve">'''Apache Spark''' is an engine.</text>
+</revision>
+</page>
+<page>
+<title>Talk:Ignored</title>
+<id>43</id>
+<revision><timestamp>x</timestamp><text>dropped</text></revision>
+</page>
+<page>
+<title>Category:Kept</title>
+<id>44</id>
+<revision><timestamp>y</timestamp><text>category page</text></revision>
+</page>
+</mediawiki>
+"""
+
+
+def test_wiki_semantics():
+    from galago_git_spark.sources.formats import parse_wiki
+
+    docs = list(parse_wiki(WIKI.encode(), "dump.wiki"))
+    # Talk: dropped (colon, not whitelisted); Category: kept; name = w+<id>
+    assert [d[0] for d in docs] == ["w42", "w44"]
+    name, url, text, _ = docs[0]
+    assert url == "http://en.wikipedia.org/wiki/Spark (software)"
+    # title/timestamp header prepended, everything lowercased
+    assert text.startswith(
+        "<title>spark (software)</title>\n"
+        "<timestamp>2020-01-01t00:00:00z</timestamp>\n"
+    )
+    assert "'''apache spark''' is an engine." in text
+
+
 @pytest.fixture(scope="module")
 def corpus_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("fmt")
