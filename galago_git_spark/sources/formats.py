@@ -413,6 +413,53 @@ def read_corpus_files(
     return files.mapInPandas(run, schema=PARSED_SCHEMA)
 
 
+def read_corpus_split(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "trectext",
+    glob: str | None = None,
+) -> DataFrame:
+    """Record-split reader for the line-oriented multi-document formats
+    (``trectext``/``trecweb``): documents are split out by the ``</DOC>``
+    terminator at SCAN time (Spark text source, custom ``lineSep``), so a
+    single huge uncompressed shard parallelizes one task per file-split —
+    ``read_corpus_files``'s one-task-per-file shape can't spread a 100 GB
+    shard over the cluster, this can (the file is cut at
+    ``spark.sql.files.maxPartitionBytes`` boundaries and each split
+    resynchronizes on the next record terminator, so no document is lost
+    or duplicated across splits).
+
+    Divergence from the reference parser (and from ``read_corpus_files``,
+    which matches it exactly): the split happens on ANY ``</DOC>``
+    occurrence, not only at line starts — identical output unless a
+    document body itself contains ``</DOC>``. Compressed shards (.gz)
+    are not splittable; use ``read_corpus_files`` for those."""
+    parsers = {"trectext": parse_trectext, "trecweb": parse_trecweb}
+    if fmt not in parsers:
+        raise ValueError(
+            f"read_corpus_split supports {sorted(parsers)}, not {fmt!r}"
+        )
+    parse = parsers[fmt]
+    reader = spark.read.option("lineSep", "</DOC>")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    chunks = reader.text(path).select(
+        F.input_file_name().alias("file"), "value"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for f, chunk in zip(b["file"], b["value"]):
+                if chunk is None or "<DOC" not in chunk:
+                    continue  # trailing whitespace after the last record
+                data = (chunk + "</DOC>\n").encode()
+                rows.extend(parse(data, _strip_scheme(str(f))))
+            yield pd.DataFrame(rows, columns=["name", "url", "text", "file"])
+
+    return chunks.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
 def as_corpus(parsed: DataFrame, repo: str = "files") -> DataFrame:
     """Map parsed rows onto the build pipeline's corpus columns; doc
     names become ``path`` so ``assign_doc_ids``'s (repo, path, commit)

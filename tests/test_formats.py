@@ -232,6 +232,37 @@ def test_external_parser_hook(spark, tmp_path):
     assert got[0]["name"] == "r1" and got[0]["text"] == "hello"
 
 
+def test_read_corpus_split_identical_across_split_boundaries(spark, tmp_path):
+    """One big trectext shard read with tiny file-splits must produce
+    exactly the per-file parser's output: records straddling split
+    boundaries are neither lost nor duplicated."""
+    from galago_git_spark.sources.formats import read_corpus_split
+
+    docs = [
+        f"<DOC>\n<DOCNO>D{i}</DOCNO>\n<TEXT>\n"
+        + " ".join(f"tok{i}_{j}" for j in range(30))
+        + f"\nline two of doc {i}\n</TEXT>\n</DOC>\n"
+        for i in range(60)
+    ]
+    (tmp_path / "big.trectext").write_text("".join(docs))
+    whole = {
+        (r["name"], r["text"])
+        for r in read_corpus_files(spark, str(tmp_path)).collect()
+    }
+    assert len(whole) == 60
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        split_df = read_corpus_split(spark, str(tmp_path))
+        assert split_df.rdd.getNumPartitions() > 1, "file must actually split"
+        got = {(r["name"], r["text"]) for r in split_df.collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == whole
+    with pytest.raises(ValueError, match="read_corpus_split supports"):
+        read_corpus_split(spark, str(tmp_path), fmt="warc")
+
+
 def test_cli_build_from_files(corpus_dir, tmp_path):
     """galago build over raw files: --input-format routes --input through
     the format readers instead of parquet."""
