@@ -434,18 +434,41 @@ def read_corpus_split(
     occurrence, not only at line starts — identical output unless a
     document body itself contains ``</DOC>``. Compressed shards (.gz)
     are not splittable; use ``read_corpus_files`` for those."""
+    chunks = _split_chunks(spark.read, path, glob)
+    return chunks.mapInPandas(_chunk_parser(fmt), schema=PARSED_SCHEMA)
+
+
+def stream_corpus_split(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "trectext",
+    glob: str | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_corpus_split`: watch a
+    directory for arriving trectext/trecweb shards and emit parsed
+    document rows as a streaming DataFrame. Pair it with
+    ``IncrementalIndexer.stream_writer()`` (foreachBatch) for continuous
+    file-drop ingestion into a geometric index."""
+    chunks = _split_chunks(spark.readStream, path, glob)
+    return chunks.mapInPandas(_chunk_parser(fmt), schema=PARSED_SCHEMA)
+
+
+def _split_chunks(reader, path: str, glob: str | None) -> DataFrame:
+    reader = reader.option("lineSep", "</DOC>")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.text(path).select(
+        F.input_file_name().alias("file"), "value"
+    )
+
+
+def _chunk_parser(fmt: str):
     parsers = {"trectext": parse_trectext, "trecweb": parse_trecweb}
     if fmt not in parsers:
         raise ValueError(
             f"read_corpus_split supports {sorted(parsers)}, not {fmt!r}"
         )
     parse = parsers[fmt]
-    reader = spark.read.option("lineSep", "</DOC>")
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    chunks = reader.text(path).select(
-        F.input_file_name().alias("file"), "value"
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -457,7 +480,7 @@ def read_corpus_split(
                 rows.extend(parse(data, _strip_scheme(str(f))))
             yield pd.DataFrame(rows, columns=["name", "url", "text", "file"])
 
-    return chunks.mapInPandas(run, schema=PARSED_SCHEMA)
+    return run
 
 
 def as_corpus(parsed: DataFrame, repo: str = "files") -> DataFrame:

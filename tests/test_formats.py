@@ -263,6 +263,37 @@ def test_read_corpus_split_identical_across_split_boundaries(spark, tmp_path):
         read_corpus_split(spark, str(tmp_path), fmt="warc")
 
 
+def test_stream_corpus_split_into_incremental_index(spark, tmp_path):
+    """File-drop streaming ingestion: trectext shards arriving in a watched
+    directory flow through stream_corpus_split into an IncrementalIndexer
+    (foreachBatch), and the geometric index answers queries."""
+    from galago_git_spark.query.executor import execute
+    from galago_git_spark.sources.formats import as_corpus, stream_corpus_split
+    from galago_git_spark.streaming.incremental import IncrementalIndexer
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for f in range(2):
+        (drop / f"shard{f}.trectext").write_text("".join(
+            f"<DOC>\n<DOCNO>F{f}D{i}</DOCNO>\n<TEXT>\n"
+            f"stream doc {i} shard {f} shuffle join\n</TEXT>\n</DOC>\n"
+            for i in range(5)
+        ))
+    indexer = IncrementalIndexer(spark, str(tmp_path / "geo"))
+    parsed = as_corpus(stream_corpus_split(spark, str(drop)))
+    q = (
+        parsed.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(indexer.stream_writer())
+        .start()
+    )
+    q.awaitTermination(120)
+    idx = indexer.open()
+    assert idx.names.count() == 10
+    out = execute("#combine(shuffle join)", idx, k=10).collect()
+    assert len(out) == 10
+
+
 def test_cli_build_from_files(corpus_dir, tmp_path):
     """galago build over raw files: --input-format routes --input through
     the format readers instead of parquet."""
