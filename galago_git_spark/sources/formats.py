@@ -243,14 +243,15 @@ def parse_arc(data: bytes, file: str) -> Iterator[tuple]:
             return
         body = data[eol + 1:eol + 1 + length].decode("utf-8", errors="replace")
         pos = eol + 1 + length + 1  # + trailing newline
-        # findDoubleNewline: text starts after the second consecutive \n
+        # findDoubleNewline: headerEnd = index of the SECOND consecutive
+        # \n; text = substring(headerEnd + 1) — i.e. after both newlines
         head_end = body.find("\n\n")
-        text = body if head_end < 0 else body[head_end + 1:]
+        text = body if head_end < 0 else body[head_end + 2:]
         yield fields[0], fields[0], text, file
 
 
 _WIKI_TAG = {
-    t: re.compile(rf"<{t}[^>]*>(.*?)</{t}>", re.S) for t in
+    t: re.compile(rf"<{t}(?:\s[^>]*)?>(.*?)</{t}>", re.S) for t in
     ("id", "title", "timestamp", "text")
 }
 _WIKI_PREFIX_WHITELIST = ("Category:",)

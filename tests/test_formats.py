@@ -138,9 +138,9 @@ def test_arc_semantics():
     ).encode()
     docs = list(parse_arc(data, "f.arc"))
     assert [d[0] for d in docs] == ["http://a.example/x", "http://b.example/y"]
-    # server header split at the double newline (ArcParser.findDoubleNewline:
-    # text starts at the second \n, so it keeps one leading newline)
-    assert docs[0][2] == "\n<html>arc doc</html>"
+    # server header split at the double newline (ArcParser.java:128-143:
+    # headerEnd = second \n, text = substring(headerEnd + 1))
+    assert docs[0][2] == "<html>arc doc</html>"
     assert docs[1][2] == "no header here"
 
 
