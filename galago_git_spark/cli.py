@@ -58,11 +58,21 @@ def cmd_build(args: argparse.Namespace) -> dict:
         docs = synthetic_code_corpus(spark, n_docs=n, seed=args.seed)
     elif getattr(args, "input_format", None):
         # raw document files (galago build inputPath analog): parse via
-        # sources/formats.py ('auto' = pick parser per file extension)
+        # sources/formats.py ('auto' = pick parser per file extension).
+        # Parse ONCE into a columnar corpus under the index dir —
+        # build_index makes several passes over its input, and re-parsing
+        # (and re-decompressing) raw files per pass would multiply ingest
+        # cost; the parquet corpus also serves `search --corpus` snippets.
+        import os
+
         from galago_git_spark.sources.formats import as_corpus, read_corpus_files
 
         fmt = None if args.input_format == "auto" else args.input_format
-        docs = as_corpus(read_corpus_files(spark, args.input, fmt=fmt))
+        parsed_dir = os.path.join(args.index, "corpus_parquet")
+        as_corpus(
+            read_corpus_files(spark, args.input, fmt=fmt)
+        ).write.mode("overwrite").parquet(parsed_dir)
+        docs = spark.read.parquet(parsed_dir)
     else:
         docs = spark.read.parquet(args.input)
 

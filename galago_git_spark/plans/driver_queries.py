@@ -1868,7 +1868,12 @@ def q_trectext_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     TrecTextParser/UniversalParser plane, TrecTextParser.java:57-116):
     render -> parse -> unwrap must reproduce (doc_id, text) exactly.
     One shard is gzip-compressed to exercise the getBufferedReader path
-    (DocumentStreamParser.java:131)."""
+    (DocumentStreamParser.java:131).
+
+    Harness note: this entry materializes the table to driver-local
+    files by construction (that IS what it grades — the file parsers),
+    so it assumes the gate's local[*] mode where driver and executors
+    share a filesystem; every other entry stays fully distributed."""
     import gzip as _gzip
     import hashlib as _hashlib
     import os as _os

@@ -53,9 +53,18 @@ _TREC_END = ("</TEXT>", "</HEADLINE>", "</TITLE>", "</HL>", "</HEAD>",
              "</TTL>", "</DD>", "</DATE>", "</LP>", "</LEADPARA>")
 
 
+_LINE_TERM = re.compile(r"\r\n|\r|\n")
+
+
 def _lines(data: bytes) -> list[str]:
-    # BufferedReader.readLine semantics: terminators stripped, \r\n ok
-    return data.decode("utf-8", errors="replace").splitlines()
+    # BufferedReader.readLine semantics: ONLY \n / \r / \r\n terminate a
+    # line (str.splitlines would also split on \x0b/\x0c/ /...,
+    # corrupting document text that contains those characters)
+    text = data.decode("utf-8", errors="replace")
+    lines = _LINE_TERM.split(text)
+    if lines and lines[-1] == "":
+        lines.pop()  # trailing terminator, not an extra empty line
+    return lines
 
 
 def parse_trectext(data: bytes, file: str) -> Iterator[tuple]:
@@ -225,7 +234,10 @@ def parse_twitter(data: bytes, file: str) -> Iterator[tuple]:
 def parse_arc(data: bytes, file: str) -> Iterator[tuple]:
     """Heritrix ARC records (ArcParser.java:48-94): header line
     ``url ip date content-type length``, then ``length`` bytes; the
-    server-header block ends at the first double newline."""
+    server-header block ends at the first double newline. Deliberate
+    divergence: the leading ``filedesc://`` version-block record is
+    skipped (the reference emits it as a document — one junk doc per ARC
+    file; WARCParser skips its equivalent, and so do we)."""
     pos, n = 0, len(data)
     while pos < n:
         while pos < n and data[pos:pos + 1] == b"\n":
@@ -243,6 +255,8 @@ def parse_arc(data: bytes, file: str) -> Iterator[tuple]:
             return
         body = data[eol + 1:eol + 1 + length].decode("utf-8", errors="replace")
         pos = eol + 1 + length + 1  # + trailing newline
+        if fields[0].startswith("filedesc://"):
+            continue
         # findDoubleNewline: headerEnd = index of the SECOND consecutive
         # \n; text = substring(headerEnd + 1) — i.e. after both newlines
         head_end = body.find("\n\n")
@@ -328,8 +342,10 @@ def parse_tsv(data: bytes, file: str) -> Iterator[tuple]:
     for ln, line in enumerate(_lines(data)):
         if not line:
             continue
-        name, _, text = line.partition("\t")
-        if not text:
+        if "\t" in line:
+            # keep the name even when the text is legitimately empty
+            name, _, text = line.partition("\t")
+        else:
             name, text = f"{file}:{ln}", line
         yield name, None, text, file
 
@@ -375,6 +391,7 @@ def read_corpus_files(
     identifier: str = "filename",
     glob: str | None = None,
     extra_parsers: dict | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Parse a directory/glob of document files into ``(name, url, text,
     file)`` rows, one task per file. ``fmt=None`` picks the parser from
@@ -382,30 +399,46 @@ def read_corpus_files(
     UniversalParser behavior); ``fmt="x"`` forces one parser.
     ``extra_parsers`` registers external formats by name — the
     ``parserParameters/externalParsers`` hook
-    (DocumentStreamParser.java:55-59)."""
+    (DocumentStreamParser.java:55-59).
+
+    ``on_error``: ``"fail"`` (default, reference parity — a malformed or
+    unknown-format file aborts the job) or ``"skip"`` — log the file to
+    stderr and continue, which a very large ingest over crawled data
+    realistically needs (one truncated shard must not kill an hours-long
+    build)."""
     parsers = format_parsers(identifier)
     if extra_parsers:
         parsers.update(extra_parsers)
     if fmt is not None and fmt not in parsers:
         raise ValueError(f"unknown corpus format {fmt!r}; known: {sorted(parsers)}")
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', not {on_error!r}")
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path).select("path", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
         for b in batches:
             for p, blob in zip(b["path"], b["content"]):
                 local = _strip_scheme(str(p))
-                local, data = _decompress(local, bytes(blob))
-                f = fmt or local.rsplit(".", 1)[-1].lower()
-                parse = parsers.get(f)
-                if parse is None:
-                    raise ValueError(
-                        f"no parser for {local!r} (extension {f!r}); "
-                        f"pass fmt= or extra_parsers="
-                    )
-                rows = list(parse(data, local))
+                try:
+                    local, data = _decompress(local, bytes(blob))
+                    f = fmt or local.rsplit(".", 1)[-1].lower()
+                    parse = parsers.get(f)
+                    if parse is None:
+                        raise ValueError(
+                            f"no parser for {local!r} (extension {f!r}); "
+                            f"pass fmt= or extra_parsers="
+                        )
+                    rows = list(parse(data, local))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    print(f"skipping unparseable file: {local}", file=sys.stderr)
+                    continue
                 # one frame per file: a task never buffers two decoded files
                 yield pd.DataFrame(
                     rows, columns=["name", "url", "text", "file"]
@@ -419,6 +452,7 @@ def read_corpus_split(
     path: str,
     fmt: str = "trectext",
     glob: str | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Record-split reader for the line-oriented multi-document formats
     (``trectext``/``trecweb``): documents are split out by the ``</DOC>``
@@ -436,7 +470,7 @@ def read_corpus_split(
     document body itself contains ``</DOC>``. Compressed shards (.gz)
     are not splittable; use ``read_corpus_files`` for those."""
     chunks = _split_chunks(spark.read, path, glob)
-    return chunks.mapInPandas(_chunk_parser(fmt), schema=PARSED_SCHEMA)
+    return chunks.mapInPandas(_chunk_parser(fmt, on_error), schema=PARSED_SCHEMA)
 
 
 def stream_corpus_split(
@@ -444,6 +478,7 @@ def stream_corpus_split(
     path: str,
     fmt: str = "trectext",
     glob: str | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Structured-Streaming twin of :func:`read_corpus_split`: watch a
     directory for arriving trectext/trecweb shards and emit parsed
@@ -451,7 +486,7 @@ def stream_corpus_split(
     ``IncrementalIndexer.stream_writer()`` (foreachBatch) for continuous
     file-drop ingestion into a geometric index."""
     chunks = _split_chunks(spark.readStream, path, glob)
-    return chunks.mapInPandas(_chunk_parser(fmt), schema=PARSED_SCHEMA)
+    return chunks.mapInPandas(_chunk_parser(fmt, on_error), schema=PARSED_SCHEMA)
 
 
 def _split_chunks(reader, path: str, glob: str | None) -> DataFrame:
@@ -463,22 +498,31 @@ def _split_chunks(reader, path: str, glob: str | None) -> DataFrame:
     )
 
 
-def _chunk_parser(fmt: str):
+def _chunk_parser(fmt: str, on_error: str = "fail"):
     parsers = {"trectext": parse_trectext, "trecweb": parse_trecweb}
     if fmt not in parsers:
         raise ValueError(
             f"read_corpus_split supports {sorted(parsers)}, not {fmt!r}"
         )
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', not {on_error!r}")
     parse = parsers[fmt]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
         for b in batches:
             rows = []
             for f, chunk in zip(b["file"], b["value"]):
                 if chunk is None or "<DOC" not in chunk:
                     continue  # trailing whitespace after the last record
                 data = (chunk + "</DOC>\n").encode()
-                rows.extend(parse(data, _strip_scheme(str(f))))
+                try:
+                    rows.extend(parse(data, _strip_scheme(str(f))))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    print(f"skipping unparseable record in: {f}", file=sys.stderr)
             yield pd.DataFrame(rows, columns=["name", "url", "text", "file"])
 
     return run
@@ -487,11 +531,20 @@ def _chunk_parser(fmt: str):
 def as_corpus(parsed: DataFrame, repo: str = "files") -> DataFrame:
     """Map parsed rows onto the build pipeline's corpus columns; doc
     names become ``path`` so ``assign_doc_ids``'s (repo, path, commit)
-    ranking keys on the document identifier."""
+    ranking keys on the document identifier.
+
+    Real TREC corpora contain duplicate DOCNOs (the reference's
+    sequential numberer just numbers both), so ``commit`` carries a
+    content-derived discriminator: duplicate names stay distinct
+    documents unless they are byte-identical duplicates in the same
+    file — which the build's duplicate-key guard then reports, exactly
+    the degenerate case worth surfacing."""
     return parsed.select(
         F.lit(repo).alias("repo"),
         F.col("name").alias("path"),
-        F.lit("").alias("commit"),
+        F.md5(F.concat_ws("\x00", F.col("file"),
+                          F.coalesce(F.col("url"), F.lit("")),
+                          F.col("text"))).alias("commit"),
         F.lit("").alias("lang"),
         F.col("text").alias("content"),
     )

@@ -219,6 +219,68 @@ def test_forced_format_and_unknown_extension(spark, corpus_dir, tmp_path):
         read_corpus_files(spark, str(tmp_path), fmt="nope")
 
 
+def test_line_terminators_are_readline_exact():
+    # only \n / \r / \r\n split lines; form feeds etc. stay in the text
+    from galago_git_spark.sources.formats import _lines, parse_trectext
+
+    assert _lines(b"a\x0cb\r\nc\rd\ne") == ["a\x0cb", "c", "d", "e"]
+    data = "<DOC>\n<DOCNO>F</DOCNO>\n<TEXT>\na\x0cb\n</TEXT>\n</DOC>\n".encode()
+    (_, _, text, _), = parse_trectext(data, "f")
+    assert text == "<TEXT>\na\x0cb\n</TEXT>\n"
+
+
+def test_tsv_trailing_tab_keeps_name():
+    from galago_git_spark.sources.formats import parse_tsv
+
+    docs = list(parse_tsv(b"doc42\t\nplain line\n", "c.tsv"))
+    assert docs[0][0] == "doc42" and docs[0][2] == ""
+    assert docs[1][0] == "c.tsv:1" and docs[1][2] == "plain line"
+
+
+def test_arc_skips_filedesc_record():
+    from galago_git_spark.sources.formats import parse_arc
+
+    vers = "1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length"
+    body = "real doc"
+    data = (
+        f"filedesc://x.arc 0.0.0.0 2007 text/plain {len(vers)}\n{vers}\n"
+        f"http://a/ 1.1.1.1 2007 text/plain {len(body)}\n{body}\n"
+    ).encode()
+    docs = list(parse_arc(data, "f.arc"))
+    assert [d[0] for d in docs] == ["http://a/"]
+
+
+def test_on_error_skip(spark, tmp_path):
+    # a truncated shard and an unknown extension are skipped, good files kept
+    (tmp_path / "good.trectext").write_text(
+        "<DOC>\n<DOCNO>G1</DOCNO>\n<TEXT>\nok\n</TEXT>\n</DOC>\n"
+    )
+    (tmp_path / "bad.trectext").write_text("<DOC>\n<DOCNO> TRUNCATED")
+    (tmp_path / "README.md").write_text("stray file")
+    with pytest.raises(Exception):
+        read_corpus_files(spark, str(tmp_path)).collect()
+    got = read_corpus_files(spark, str(tmp_path), on_error="skip").collect()
+    assert [r["name"] for r in got] == ["G1"]
+    with pytest.raises(ValueError, match="on_error"):
+        read_corpus_files(spark, str(tmp_path), on_error="warn")
+
+
+def test_duplicate_docnos_build_as_distinct_docs(spark, tmp_path):
+    # legal in TREC corpora: same DOCNO in two shards -> two documents
+    from galago_git_spark.index.build import build_index, open_index
+
+    for f in ("x", "y"):
+        (tmp_path / f"{f}.trectext").write_text(
+            f"<DOC>\n<DOCNO>DUP-1</DOCNO>\n<TEXT>\nshard {f} text\n</TEXT>\n</DOC>\n"
+        )
+    corpus = as_corpus(read_corpus_files(spark, str(tmp_path)))
+    d = str(tmp_path / "idx")
+    build_index(corpus, d, positions=False)
+    idx = open_index(spark, d)
+    names = idx.names.collect()
+    assert len(names) == 2 and all(r["path"] == "DUP-1" for r in names)
+
+
 def test_external_parser_hook(spark, tmp_path):
     # DocumentStreamParser.java:55-59 external-parser registration analog
     (tmp_path / "y.rev").write_text("olleh")
