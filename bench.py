@@ -258,6 +258,29 @@ def main() -> None:
                 spark, ann_dir, qvec, k=10, n_probe=4, reader=ann_reader
             ).collect(),
         )
+
+        # 5. raw-file ingestion plane: parse the corpus back out of
+        # rendered trectext shards with the record-split reader (one task
+        # per file-split — the 100 GB-shard shape), timing parse only
+        from galago_git_spark.sources.formats import as_corpus, read_corpus_split
+
+        shard_dir = os.path.join(tmp, "trectext")
+        os.makedirs(shard_dir)
+        rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        ).collect()
+        shards: list[list[str]] = [[] for _ in range(8)]
+        for r in rows:
+            shards[int(r["doc_id"]) % 8].append(
+                f"<DOC>\n<DOCNO>{r['doc_id']}</DOCNO>\n<TEXT>\n{r['text']}\n</TEXT>\n</DOC>\n"
+            )
+        for i, s in enumerate(shards):
+            with open(os.path.join(shard_dir, f"part{i}.trectext"), "w") as f:
+                f.write("".join(s))
+        timed(
+            "parse_trectext_split",
+            lambda: as_corpus(read_corpus_split(spark, shard_dir)).count(),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

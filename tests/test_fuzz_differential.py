@@ -55,9 +55,13 @@ def _random_count_child(rng: random.Random) -> str:
         return f"#uw:{w}({' '.join(t() for _ in range(n))})"
     if r < 0.85:
         return f"#syn({t()} {t()})"
-    if r < 0.93:
+    if r < 0.9:
         return f"#mincount({t()} {t()})"
-    return f"#countsum({t()} {t()})"
+    if r < 0.94:
+        return f"#countsum({t()} {t()})"
+    if r < 0.97:
+        return f"#require({t()} {t()})"
+    return f"#reject({t()} {t()})"
 
 
 def _random_scorer(rng: random.Random, child: str) -> str:
