@@ -69,9 +69,12 @@ def cmd_build(args: argparse.Namespace) -> dict:
 
         fmt = None if args.input_format == "auto" else args.input_format
         parsed_dir = os.path.join(args.index, "corpus_parquet")
-        as_corpus(
-            read_corpus_files(spark, args.input, fmt=fmt)
-        ).write.mode("overwrite").parquet(parsed_dir)
+        # checkpointed resume covers the parse stage too: a landed
+        # (_SUCCESS) corpus_parquet is reused instead of re-parsed
+        if not (args.resume and os.path.exists(os.path.join(parsed_dir, "_SUCCESS"))):
+            as_corpus(
+                read_corpus_files(spark, args.input, fmt=fmt)
+            ).write.mode("overwrite").parquet(parsed_dir)
         docs = spark.read.parquet(parsed_dir)
     else:
         docs = spark.read.parquet(args.input)
