@@ -464,12 +464,19 @@ def read_corpus_split(
     resynchronizes on the next record terminator, so no document is lost
     or duplicated across splits).
 
+    Line-delimited formats (``twitter``/``tsv``/``jsonl``) split natively
+    on newlines — same one-task-per-split shape. Their lines must be
+    self-identifying; a tsv/jsonl line with no name falls back to a
+    content hash instead of the per-file reader's ``file:lineno``
+    (line numbers don't exist inside a split).
+
     Divergence from the reference parser (and from ``read_corpus_files``,
     which matches it exactly): the split happens on ANY ``</DOC>``
     occurrence, not only at line starts — identical output unless a
     document body itself contains ``</DOC>``. Compressed shards (.gz)
-    are not splittable; use ``read_corpus_files`` for those."""
-    chunks = _split_chunks(spark.read, path, glob)
+    are not splittable; use ``read_corpus_files`` for those. WARC/ARC
+    are length-prefixed, not delimiter-framed, so they stay per-file."""
+    chunks = _split_chunks(spark.read, path, glob, fmt)
     return chunks.mapInPandas(_chunk_parser(fmt, on_error), schema=PARSED_SCHEMA)
 
 
@@ -485,12 +492,16 @@ def stream_corpus_split(
     document rows as a streaming DataFrame. Pair it with
     ``IncrementalIndexer.stream_writer()`` (foreachBatch) for continuous
     file-drop ingestion into a geometric index."""
-    chunks = _split_chunks(spark.readStream, path, glob)
+    chunks = _split_chunks(spark.readStream, path, glob, fmt)
     return chunks.mapInPandas(_chunk_parser(fmt, on_error), schema=PARSED_SCHEMA)
 
 
-def _split_chunks(reader, path: str, glob: str | None) -> DataFrame:
-    reader = reader.option("lineSep", "</DOC>")
+_SPLIT_LINE_FORMATS = ("twitter", "tsv", "jsonl")
+
+
+def _split_chunks(reader, path: str, glob: str | None, fmt: str) -> DataFrame:
+    if fmt not in _SPLIT_LINE_FORMATS:  # doc-framed: one chunk per <DOC>
+        reader = reader.option("lineSep", "</DOC>")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.text(path).select(
@@ -498,8 +509,47 @@ def _split_chunks(reader, path: str, glob: str | None) -> DataFrame:
     )
 
 
+def _parse_tsv_selfid(data: bytes, file: str) -> Iterator[tuple]:
+    import hashlib
+
+    for line in _lines(data):
+        if not line:
+            continue
+        if "\t" in line:
+            name, _, text = line.partition("\t")
+        else:
+            name, text = "h" + hashlib.md5(line.encode()).hexdigest()[:16], line
+        yield name, None, text, file
+
+
+def _parse_jsonl_selfid(data: bytes, file: str) -> Iterator[tuple]:
+    import hashlib
+
+    for line in _lines(data):
+        if not line.strip():
+            continue
+        obj = json.loads(line)
+        name = obj.get("name", obj.get("id", obj.get("doc_id")))
+        if name is None:
+            name = "h" + hashlib.md5(line.encode()).hexdigest()[:16]
+        yield (str(name), obj.get("url"),
+               str(obj.get("text", obj.get("content", ""))), file)
+
+
 def _chunk_parser(fmt: str, on_error: str = "fail"):
-    parsers = {"trectext": parse_trectext, "trecweb": parse_trecweb}
+    parsers = {
+        "trectext": parse_trectext,
+        "trecweb": parse_trecweb,
+        # line-delimited formats: the default \n lineSep splits them
+        # natively; each "chunk" is one line. The per-file readers'
+        # positional fallback name (file:lineno) is unavailable here —
+        # lines must be self-identifying (twitter/tsv carry the name in
+        # the line, jsonl needs an id/name/doc_id field), else the
+        # fallback is a content hash (documented divergence).
+        "twitter": parse_twitter,
+        "tsv": _parse_tsv_selfid,
+        "jsonl": _parse_jsonl_selfid,
+    }
     if fmt not in parsers:
         raise ValueError(
             f"read_corpus_split supports {sorted(parsers)}, not {fmt!r}"
@@ -508,15 +558,22 @@ def _chunk_parser(fmt: str, on_error: str = "fail"):
         raise ValueError(f"on_error must be 'fail' or 'skip', not {on_error!r}")
     parse = parsers[fmt]
 
+    line_mode = fmt in _SPLIT_LINE_FORMATS
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import sys
 
         for b in batches:
             rows = []
             for f, chunk in zip(b["file"], b["value"]):
-                if chunk is None or "<DOC" not in chunk:
-                    continue  # trailing whitespace after the last record
-                data = (chunk + "</DOC>\n").encode()
+                if chunk is None:
+                    continue
+                if line_mode:
+                    data = chunk.encode()
+                else:
+                    if "<DOC" not in chunk:
+                        continue  # trailing whitespace after the last record
+                    data = (chunk + "</DOC>\n").encode()
                 try:
                     rows.extend(parse(data, _strip_scheme(str(f))))
                 except Exception:

@@ -178,6 +178,11 @@ class IncrementalIndexer:
             postings = p if postings is None else postings.unionByName(p)
             lengths = l if lengths is None else lengths.unionByName(l)
             names = nm if names is None else names.unionByName(nm)
+        if postings is None:
+            raise ValueError(
+                f"no shards in {self.root} — nothing has been indexed yet "
+                "(a streaming writer may still be running)"
+            )
         termstats = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("cf"),

@@ -325,6 +325,38 @@ def test_read_corpus_split_identical_across_split_boundaries(spark, tmp_path):
         read_corpus_split(spark, str(tmp_path), fmt="warc")
 
 
+def test_read_corpus_split_line_formats(spark, tmp_path):
+    """twitter/tsv/jsonl split natively on newlines; names self-identify,
+    id-less lines hash instead of using (split-relative) line numbers."""
+    from galago_git_spark.sources.formats import read_corpus_split
+
+    (tmp_path / "a.twitter").write_text(
+        "u1\t100\tfirst tweet\tweb\nu2\t200\tsecond tweet\tapi\n"
+    )
+    got = {r["name"]: r["text"] for r in
+           read_corpus_split(spark, str(tmp_path), fmt="twitter").collect()}
+    assert got == {"u1-100": "first tweet", "u2-200": "second tweet"}
+
+    d2 = tmp_path / "j"
+    d2.mkdir()
+    (d2 / "b.jsonl").write_text(
+        '{"id": "j1", "text": "json one"}\n{"text": "no id"}\n'
+    )
+    rows = read_corpus_split(spark, str(d2), fmt="jsonl").collect()
+    by = {r["name"]: r["text"] for r in rows}
+    assert by["j1"] == "json one"
+    hashed = [n for n in by if n.startswith("h")]
+    assert len(hashed) == 1 and by[hashed[0]] == "no id"
+
+    d3 = tmp_path / "t"
+    d3.mkdir()
+    (d3 / "c.tsv").write_text("t1\talpha beta\nbare line\n")
+    rows = read_corpus_split(spark, str(d3), fmt="tsv").collect()
+    by = {r["name"]: r["text"] for r in rows}
+    assert by["t1"] == "alpha beta"
+    assert any(n.startswith("h") and by[n] == "bare line" for n in by)
+
+
 def test_stream_corpus_split_into_incremental_index(spark, tmp_path):
     """File-drop streaming ingestion: trectext shards arriving in a watched
     directory flow through stream_corpus_split into an IncrementalIndexer
@@ -349,7 +381,14 @@ def test_stream_corpus_split_into_incremental_index(spark, tmp_path):
         .foreachBatch(indexer.stream_writer())
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow stops itself once the backlog is drained; poll rather
+    # than a fixed await so a loaded host can't truncate the micro-batch
+    import time as _time
+
+    deadline = _time.time() + 600
+    while q.isActive and _time.time() < deadline:
+        q.awaitTermination(5)
+    assert not q.isActive, "stream did not drain in time"
     idx = indexer.open()
     assert idx.names.count() == 10
     out = execute("#combine(shuffle join)", idx, k=10).collect()
