@@ -65,16 +65,29 @@ def cmd_build(args: argparse.Namespace) -> dict:
         # cost; the parquet corpus also serves `search --corpus` snippets.
         import os
 
-        from galago_git_spark.sources.formats import as_corpus, read_corpus_files
+        from galago_git_spark.sources.formats import (
+            as_corpus,
+            read_corpus_files,
+            read_corpus_split,
+        )
 
         fmt = None if args.input_format == "auto" else args.input_format
         parsed_dir = os.path.join(args.index, "corpus_parquet")
         # checkpointed resume covers the parse stage too: a landed
         # (_SUCCESS) corpus_parquet is reused instead of re-parsed
         if not (args.resume and os.path.exists(os.path.join(parsed_dir, "_SUCCESS"))):
-            as_corpus(
-                read_corpus_files(spark, args.input, fmt=fmt)
-            ).write.mode("overwrite").parquet(parsed_dir)
+            if getattr(args, "input_split", False):
+                # record-split scan: one task per FILE-SPLIT — required
+                # when shards are huge; only delimiter-framed formats
+                if fmt is None:
+                    raise SystemExit(
+                        "--input-split needs an explicit --input-format "
+                        "(trectext/trecweb/twitter/tsv/jsonl)"
+                    )
+                parsed = read_corpus_split(spark, args.input, fmt=fmt)
+            else:
+                parsed = read_corpus_files(spark, args.input, fmt=fmt)
+            as_corpus(parsed).write.mode("overwrite").parquet(parsed_dir)
         docs = spark.read.parquet(parsed_dir)
     else:
         docs = spark.read.parquet(args.input)
@@ -806,8 +819,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--seed", type=int, default=42)
     b.add_argument("--input-format", default=None,
                    help="treat --input as raw document files of this format "
-                        "(trectext/trecweb/warc/txt/html/xml/jsonl/tsv, or "
-                        "'auto' to pick by extension) instead of parquet")
+                        "(trectext/trecweb/warc/arc/wiki/twitter/txt/html/"
+                        "xml/jsonl/tsv, or 'auto' to pick by extension) "
+                        "instead of parquet")
+    b.add_argument("--input-split", action="store_true",
+                   help="with --input-format: record-split the shards at "
+                        "scan time (one task per file-split; for huge "
+                        "uncompressed trectext/trecweb/twitter/tsv/jsonl)")
     b.add_argument("--packed", action="store_true")
     b.add_argument("--positions", action="store_true")
     b.add_argument("--resume", action="store_true")
