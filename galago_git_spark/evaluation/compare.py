@@ -91,18 +91,27 @@ def student_t_two_sided_p(t: float, df: float) -> float:
 # --------------------------------------------------------------------------
 
 def paired_ttest(baseline, treatment, boost: float = 1.0) -> float:
-    """PairedTTest.java:27-57 — returns 1 - p (two-sided paired t)."""
+    """PairedTTest.java:27-57 — returns 1 - p. Despite the class name,
+    the reference's live code path calls commons-math
+    ``TTest.tTest(boostedBaseline, treatment)`` — the TWO-SAMPLE Welch
+    test with Welch–Satterthwaite degrees of freedom (the actual paired
+    computation is commented out in the reference, :33-51). Mirrored
+    exactly so `galago eval --compare` p-values match."""
     base = np.asarray(baseline, dtype=np.float64) * boost
     treat = np.asarray(treatment, dtype=np.float64)
     if base.shape != treat.shape or base.size < 2:
         raise ValueError("need equal-length vectors with n >= 2")
-    d = treat - base
-    n = d.size
-    sd = d.std(ddof=1)
-    if sd == 0.0:
-        return 0.0 if np.allclose(d, 0) else 1.0
-    t = d.mean() / (sd / math.sqrt(n))
-    return 1.0 - student_t_two_sided_p(t, n - 1)
+    n1, n2 = base.size, treat.size
+    m1, m2 = base.mean(), treat.mean()
+    v1, v2 = base.var(ddof=1), treat.var(ddof=1)
+    se2 = v1 / n1 + v2 / n2
+    if se2 == 0.0:
+        return 0.0 if m1 == m2 else 1.0
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    return 1.0 - student_t_two_sided_p(t, df)
 
 
 def sign_test(baseline, treatment, boost: float = 1.0) -> float:

@@ -165,8 +165,32 @@ def err_at(run: DataFrame, qrels: DataFrame, k: int | None = None) -> DataFrame:
         .orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    j = j.withColumn("r", r).withColumn(
-        "decay", F.exp(F.coalesce(F.sum(F.log(1.0 - F.col("r"))).over(w), F.lit(0.0)))
+    # the cascade decay is a signed cumulative product: judgments above
+    # _ERR_MAX_JUDGMENT make r > 1 so (1 - r) goes negative, and the
+    # reference multiplies that straight through (ExpectedReciprocalRank
+    # .java:76) — a plain exp(cumsum(log)) would NULL out those factors
+    # and silently drop them from the product. ln|1-r| + sign parity +
+    # an exact-zero guard reproduces the sequential multiply.
+    factor = 1.0 - F.col("r")
+    j = (
+        j.withColumn("r", r)
+        .withColumn(
+            "lnabs",
+            F.when(factor != 0.0, F.log(F.abs(factor))).otherwise(F.lit(0.0)),
+        )
+        .withColumn("isneg", F.when(factor < 0.0, 1).otherwise(0))
+        .withColumn("iszero", F.when(factor == 0.0, 1).otherwise(0))
+        .withColumn(
+            "decay",
+            F.when(F.coalesce(F.sum("iszero").over(w), F.lit(0)) > 0, F.lit(0.0))
+            .otherwise(
+                F.exp(F.coalesce(F.sum("lnabs").over(w), F.lit(0.0)))
+                * F.when(
+                    F.coalesce(F.sum("isneg").over(w), F.lit(0)) % 2 == 1,
+                    F.lit(-1.0),
+                ).otherwise(F.lit(1.0))
+            ),
+        )
     )
     e = j.groupBy("qid").agg(
         F.sum(F.col("r") * F.col("decay") / F.col("rank")).alias("value")

@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 
 def read_run(spark: SparkSession, path: str) -> DataFrame:
-    parts = F.split(F.regexp_replace(F.col("value"), r"\s+", " "), " ")
+    # normalize whitespace THEN trim (Spark trim strips spaces only, not
+    # tabs): leading whitespace would shift every field one right
+    parts = F.split(F.trim(F.regexp_replace(F.col("value"), r"\s+", " ")), " ")
     return (
         spark.read.text(path)
         .filter(F.length(F.trim("value")) > 0)
@@ -24,7 +26,7 @@ def read_run(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_qrels(spark: SparkSession, path: str) -> DataFrame:
-    parts = F.split(F.regexp_replace(F.col("value"), r"\s+", " "), " ")
+    parts = F.split(F.trim(F.regexp_replace(F.col("value"), r"\s+", " ")), " ")
     return (
         spark.read.text(path)
         .filter(F.length(F.trim("value")) > 0)

@@ -1154,9 +1154,12 @@ post AS (SELECT term, doc, count(*)::double AS tf FROM pos
 ts AS (SELECT term, count(*)::double AS df FROM post GROUP BY term),
 cand AS (SELECT DISTINCT doc FROM post),
 pass AS (
+  -- windows stop at the first end >= length (RankedPassageModel:83-97):
+  -- last k = max(ceil((len - size)/shift), 0); no windows for empty docs
   SELECT c.doc, l.length,
-         unnest(range(0, greatest(ceil(l.length / {shift}.0)::int, 1))) AS k
-  FROM cand c JOIN lens l USING (doc)),
+         unnest(range(0, greatest(ceil((l.length - {size}) / {shift}.0)::int, 0) + 1)) AS k
+  FROM cand c JOIN lens l USING (doc)
+  WHERE l.length > 0),
 pgeo AS (
   SELECT doc, k, (k * {shift})::int AS "begin",
          least(k * {shift} + {size}, length)::int AS "end",

@@ -7,7 +7,8 @@ candidate document, each scored as a pseudo-document; results ranked by
 Plan shape (one declarative job, no per-passage iteration):
 
     candidate docs (term-pruned postings)  ->  explode passage ids k from
-    the lengths table (k*shift < len)  ->  per-(term, doc, k) passage tf
+    the lengths table (k <= ceil((len-size)/shift): the loop stops at the
+    first window reaching the doc end)  ->  per-(term, doc, k) passage tf
     from the positions column  ->  BM25 over (passage tf, passage length)
     with collection-level idf/avgdl  ->  global top-k window.
 
@@ -51,25 +52,12 @@ def passage_bm25_topk(
 
     matched = index.postings.filter(F.col("term").isin(terms))
     cand = matched.select("doc").distinct()
-    # all passages of candidate docs: k while k*shift < len
-    passages = (
-        cand.join(index.lengths, "doc")
-        .select(
-            "doc",
-            "length",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(
-                        F.ceil(F.col("length") / F.lit(shift)).cast("int") - 1,
-                        F.lit(0),
-                    ),
-                )
-            ).alias("k"),
-        )
-        .withColumn("begin", F.col("k") * shift)
-        .withColumn("end", F.least(F.col("begin") + size, F.col("length")))
-        .withColumn("plen", (F.col("end") - F.col("begin")).cast("double"))
+    passages = passage_windows(index, cand, size, shift).select(
+        "doc",
+        F.col("pbegin").alias("begin"),
+        F.col("pend").alias("end"),
+        "plen",
+        (F.col("pbegin") / shift).cast("int").alias("k"),
     )
 
     # per-(term, doc, k) passage tf: position p belongs to passage k iff
@@ -87,9 +75,17 @@ def passage_bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
+    # merge weights of DUPLICATE query terms before building the CASE:
+    # chained .when()s on the same term never reach the second branch,
+    # which would silently halve a repeated term's contribution (the
+    # executor's flat path guards for distinct terms; this is the merge
+    # equivalent for the passage plane)
+    weight_by_term: dict[str, float] = {}
+    for t, w in zip(terms, weights):
+        weight_by_term[t] = weight_by_term.get(t, 0.0) + w
     contrib = None
     tf, plen = F.col("tf").cast("double"), F.col("plen")
-    for t, w in zip(terms, weights):
+    for t, w in weight_by_term.items():
         ts = stats.get(t)
         if ts is None:
             continue
@@ -102,9 +98,11 @@ def passage_bm25_topk(
         case = F.when(F.col("term") == t, expr)
         contrib = case if contrib is None else contrib.when(F.col("term") == t, expr)
     if contrib is None:
-        return index.spark.createDataFrame(
-            [], "doc long, begin int, end int, score double, rank int"
+        empty_schema = (
+            "doc long, begin int, end int, score double"
+            + (", rank int" if k is not None else "")
         )
+        return index.spark.createDataFrame([], empty_schema)
 
     scored = (
         passages.join(ptf, ["doc", "k"], "left")
@@ -137,22 +135,25 @@ def passage_bm25_topk(
 
 def passage_windows(index: Index, cand_docs: DataFrame, size: int, shift: int) -> DataFrame:
     """(doc, pbegin, pend, plen): sliding windows over candidate docs
-    (RankedPassageModel.java:57-97 loop as one explode)."""
+    (RankedPassageModel.java:57-97 loop as one explode).
+
+    The loop scores windows k = 0, 1, ... and STOPS after the first
+    window whose end reaches the doc length (``lastIteration``,
+    :83-97) — so the last window index is ceil((len - size) / shift),
+    never beyond. Earlier code emitted every k with k*shift < len, which
+    adds truncated tail windows the reference never scores (len=60,
+    size=50, shift=25: reference scores [0,50) and [25,60) only, not
+    [50,60) — and short tail windows outrank full ones under per-passage
+    length normalization). Zero-length docs yield no windows
+    (``begin < length`` fails immediately)."""
+    last_k = F.greatest(
+        F.ceil((F.col("length") - size) / F.lit(shift)).cast("int"),
+        F.lit(0),
+    )
     return (
         cand_docs.join(index.lengths, "doc")
-        .select(
-            "doc",
-            "length",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(
-                        F.ceil(F.col("length") / F.lit(shift)).cast("int") - 1,
-                        F.lit(0),
-                    ),
-                )
-            ).alias("k"),
-        )
+        .filter(F.col("length") > 0)
+        .select("doc", "length", F.explode(F.sequence(F.lit(0), last_k)).alias("k"))
         .withColumn("pbegin", F.col("k") * shift)
         .withColumn("pend", F.least(F.col("pbegin") + size, F.col("length")))
         .withColumn("plen", (F.col("pend") - F.col("pbegin")).cast("double"))

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from galago_git_spark.index.build import Index
-from galago_git_spark.query.executor import execute, score_frame
+from galago_git_spark.query.executor import execute
 from galago_git_spark.query.nodes import Node, is_term_leaf
 from galago_git_spark.query.parser import parse
 from galago_git_spark.query.traversals import transform

@@ -37,16 +37,27 @@ def test_student_t_matches_table_values():
 
 
 def test_paired_ttest_hand_computed():
-    # hand compute: d = treat - base, t = mean(d) / (sd(d)/sqrt(n))
-    d = [t - b for b, t in zip(BASE, TREAT)]
-    n = len(d)
-    mean = sum(d) / n
-    sd = math.sqrt(sum((x - mean) ** 2 for x in d) / (n - 1))
-    t = mean / (sd / math.sqrt(n))
-    want = 1.0 - student_t_two_sided_p(t, n - 1)
+    # the reference's PairedTTest calls commons-math TTest.tTest(a, b):
+    # the UNPAIRED Welch two-sample test with Welch-Satterthwaite df
+    # (the paired computation is commented out, PairedTTest.java:33-51) —
+    # hand-compute that
+    n = len(BASE)
+    m1, m2 = sum(BASE) / n, sum(TREAT) / n
+    v1 = sum((x - m1) ** 2 for x in BASE) / (n - 1)
+    v2 = sum((x - m2) ** 2 for x in TREAT) / (n - 1)
+    se2 = v1 / n + v2 / n
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / ((v1 / n) ** 2 / (n - 1) + (v2 / n) ** 2 / (n - 1))
+    want = 1.0 - student_t_two_sided_p(t, df)
     assert paired_ttest(BASE, TREAT) == pytest.approx(want, rel=1e-12)
-    # this treatment wins on 9/10 queries: strongly significant
-    assert paired_ttest(BASE, TREAT) > 0.99
+    # per-query wins are IGNORED by the two-sample test: a uniform small
+    # improvement with overlapping distributions is NOT significant here
+    # (the paired test would say > 0.99 — exactly the reference divergence
+    # this mirrors)
+    assert paired_ttest(BASE, TREAT) < 0.9
+    # constant vectors: equal means -> 1-p = 0, different means -> 1
+    assert paired_ttest([0.3] * 5, [0.3] * 5) == 0.0
+    assert paired_ttest([0.2] * 5, [0.3] * 5) == 1.0
 
 
 def test_binomial_two_sided_exact():
@@ -70,15 +81,22 @@ def test_randomized_test_significant_and_null():
 
 
 def test_support_hypothesis_boost_search():
-    # comparator output (1-p ~0.998) already above the target: the
-    # reference walk shrinks the boost forever -> its >50-iteration
-    # guard returns 0 (SupportHypothesis.java:50-53)
-    assert support_hypothesis("ttest", 0.95, BASE, TREAT) == 0.0
-    # target above the current output: the walk inflates the baseline
-    # until the two-sided test crosses the target, then bisects
-    b = support_hypothesis("ttest", 0.9999, BASE, TREAT)
+    # Welch 1-p at boost=1 is ~0.6, below both targets: the walk inflates
+    # the baseline until the two-sided test crosses, then bisects
+    for target in (0.95, 0.9999):
+        b = support_hypothesis("ttest", target, BASE, TREAT)
+        assert b > 1.0
+        assert paired_ttest(BASE, TREAT, boost=b) == pytest.approx(
+            target, abs=0.002
+        )
+    # signtest reports a raw p (0.02 at boost=1, below target): boosting
+    # the baseline flips per-query winners until the step function
+    # crosses; the bisection converges just below the crossing boost
+    b = support_hypothesis("signtest", 0.95, BASE, TREAT)
     assert b > 1.0
-    assert paired_ttest(BASE, TREAT, boost=b) == pytest.approx(0.9999, abs=0.002)
+    assert sign_test(BASE, TREAT, boost=b) < 0.95 <= sign_test(
+        BASE, TREAT, boost=b + 0.001
+    )
 
 
 def test_compare_dispatch_and_runs():
@@ -92,6 +110,7 @@ def test_compare_dispatch_and_runs():
     assert res["baseBetter"] == 1.0
     assert res["equal"] == 0.0
     assert res["baseline"] == pytest.approx(sum(BASE) / 10)
-    assert 0.99 < res["ttest"] < 1.0
+    assert res["ttest"] == pytest.approx(paired_ttest(BASE, TREAT))
+    assert 0.0 < res["ttest"] < 0.9  # Welch two-sample: not significant
     with pytest.raises(ValueError, match="unknown comparison"):
         compare("bogus", BASE, TREAT)

@@ -163,6 +163,37 @@ def test_multi_query_and_summary(spark):
     )
 
 
+def test_err_judgment_above_max_multiplies_negative_decay(spark):
+    """ExpectedReciprocalRank.java:71-77 with a judgment above the TREC
+    max (4): r > 1 makes the decay factor negative and the reference
+    multiplies it through — sequential python mirror must match."""
+    run = spark.createDataFrame(
+        [("q1", "d1", 1, 3.0), ("q1", "d2", 2, 2.0), ("q1", "d3", 3, 1.0)],
+        "qid string, name string, rank int, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 5), ("q1", "d2", 3), ("q1", "d3", 1)],
+        "qid string, name string, rel int",
+    )
+    got = {r["qid"]: r["value"] for r in M.err_at(run, qrels).collect()}
+    score, decay = 0.0, 1.0
+    for i, rel in enumerate([5, 3, 1]):
+        r = (2 ** rel - 1) / 2 ** 4
+        score += r * decay / (i + 1)
+        decay *= 1 - r
+    assert got["q1"] == pytest.approx(score, abs=1e-9)
+
+
+def test_trec_reader_trims_leading_whitespace(spark, tmp_path):
+    p = str(tmp_path / "padded_run.txt")
+    with open(p, "w") as f:
+        f.write("  q1 Q0 doc1 1 5.0 tag\n\tq1 Q0 doc2 2 4.0 tag\n")
+    rows = {(r["qid"], r["name"], r["rank"], r["score"])
+            for r in __import__("galago_git_spark.evaluation.trec",
+                                fromlist=["trec"]).read_run(spark, p).collect()}
+    assert rows == {("q1", "doc1", 1, 5.0), ("q1", "doc2", 2, 4.0)}
+
+
 def test_trec_roundtrip(spark, tmp_path):
     from galago_git_spark.evaluation import trec
 

@@ -47,6 +47,72 @@ def test_flat_combine_matches_established_passage_model(pidx):
     assert g == w
 
 
+def test_passage_window_rule_matches_reference(spark):
+    """RankedPassageModel.java:83-97: windows stop at the first end >=
+    length — len=60/size=50/shift=25 scores [0,50) and [25,60) ONLY (the
+    truncated tail [50,60) must not exist: under per-passage length
+    normalization it would outrank full windows). The reference's own
+    fixture shape: doc len=106/size=10/shift=5 ends at begin=100,end=106
+    (RankedPassageModelTest.java:95-97)."""
+    doc60 = " ".join(f"w{i}" for i in range(59)) + " target"
+    docs = spark.createDataFrame(
+        [(0, doc60), (1, "filler words only")],  # 2nd doc keeps idf positive
+        "doc_id long, text string",
+    )
+    idx = inline_index(docs)
+    wins = sorted(
+        (r["pbegin"], r["pend"])
+        for r in passage_windows(
+            idx,
+            idx.lengths.filter(F.col("doc") == 0).select("doc"),
+            size=50,
+            shift=25,
+        ).collect()
+    )
+    assert wins == [(0, 50), (25, 60)]
+    got = passage_bm25_topk(idx, ["target"], k=10, size=50, shift=25).collect()
+    # both windows are scored (zero-match windows of candidate docs rank
+    # by doc/begin, like the reference queue) — the phantom [50,60) is gone
+    assert [(r["begin"], r["end"]) for r in got] == [(25, 60), (0, 50)]
+    assert got[0]["score"] > 0.0 and got[1]["score"] == 0.0
+    # len=106/size=10/shift=5: last window exactly [100, 106)
+    doc106 = " ".join(["pad"] * 105) + " tail"
+    idx2 = inline_index(
+        spark.createDataFrame([(0, doc106)], "doc_id long, text string")
+    )
+    wins2 = [
+        (r["pbegin"], r["pend"])
+        for r in passage_windows(
+            idx2, idx2.lengths.select("doc"), size=10, shift=5
+        ).collect()
+    ]
+    assert max(wins2) == (100, 106) and (105, 106) not in wins2
+
+
+def test_passage_duplicate_query_terms_full_weight(pidx):
+    """#combine(data data) must weight 'data' fully (two 0.5 shares merge),
+    not half — chained CASE branches on a repeated term never fire twice."""
+    _, idx = pidx
+    single = passage_bm25_topk(idx, ["data"], k=5, size=SIZE, shift=SHIFT).collect()
+    doubled = passage_bm25_topk(
+        idx, ["data", "data"], k=5, size=SIZE, shift=SHIFT
+    ).collect()
+    assert [(r["doc"], r["begin"]) for r in doubled] == [
+        (r["doc"], r["begin"]) for r in single
+    ]
+    for d, s in zip(doubled, single):
+        assert d["score"] == pytest.approx(s["score"], abs=1e-9)
+
+
+def test_passage_empty_schema_consistent(pidx):
+    _, idx = pidx
+    with_k = passage_bm25_topk(idx, ["zzz_absent"], k=5)
+    no_k = passage_bm25_topk(idx, ["zzz_absent"], k=None)
+    assert with_k.columns == ["doc", "begin", "end", "score", "rank"]
+    assert no_k.columns == ["doc", "begin", "end", "score"]
+    assert with_k.count() == 0 and no_k.count() == 0
+
+
 def test_passage_window_counts_match_python_oracle(pidx):
     """#od:1 evaluated inside passages == match loop on passage-filtered
     positions (the PassageFilterIterator contract)."""
@@ -66,18 +132,19 @@ def test_passage_window_counts_match_python_oracle(pidx):
         n = len(toks)
         if "get_load0" not in toks or "set_block_v20" not in toks:
             continue
+        # reference loop (RankedPassageModel.java:83-97): stop after the
+        # first window whose end reaches the doc length
         k = 0
-        while k * SHIFT < n or k == 0:
+        while True:
             b, e = k * SHIFT, min(k * SHIFT + SIZE, n)
             pa = [p for p, t in enumerate(toks, 1) if t == "get_load0" and b < p <= e]
             pb = [p for p, t in enumerate(toks, 1) if t == "set_block_v20" and b < p <= e]
             tf = sum(1 for p in pa if p + 1 in pb)
             if tf:
                 want.add((row["doc_id"], b, tf))
-            k += 1
-            if k * SHIFT >= n:
+            if e >= n:
                 break
-        # k loop mirrors passage_windows' ceil(len/shift) windows
+            k += 1
     assert got, "fixture must produce passage phrase matches"
     assert got == want
 
