@@ -105,6 +105,7 @@ def cmd_build(args: argparse.Namespace) -> dict:
         block_size=args.block_size,
         bucket_bits=args.bucket_bits,
         id_col=args.id_col,
+        stemmer=getattr(args, "stemmer", None),
     )
     build_s = time.perf_counter() - t0
     packed_s = round(
@@ -124,10 +125,15 @@ def cmd_build(args: argparse.Namespace) -> dict:
 
 
 def _run_one(spark, index, index_dir: str, text: str, k: int, scorer: str,
-             use_wand: bool, reader=None):
+             use_wand: bool, reader=None, part: str | None = None):
     from galago_git_spark.query.executor import execute
 
-    if use_wand:
+    # the packed WAND tiers index RAW terms (blocks build from the raw
+    # postings part) — when the query routes to a stemmed part (the
+    # DiskIndex default once one is built), stay on the exhaustive path
+    # so rankings match the routed part (see executor._resolve_text_part)
+    effective_part = part or index.default_text_part
+    if use_wand and effective_part == "postings":
         from galago_git_spark.query.nodes import is_term_leaf
         from galago_git_spark.query.parser import parse
         from galago_git_spark.query.wand import (
@@ -163,7 +169,8 @@ def _run_one(spark, index, index_dir: str, text: str, k: int, scorer: str,
                 ).collect()
             except ValueError:
                 pass  # no positional packed layer: exhaustive path below
-    return execute(text, index, k=k, default_scorer=scorer).collect()
+    return execute(text, index, k=k, default_scorer=scorer,
+                   part=part).collect()
 
 
 def cmd_search(args: argparse.Namespace) -> dict:
@@ -175,7 +182,7 @@ def cmd_search(args: argparse.Namespace) -> dict:
 
     idx = open_index(spark, args.index)
     rows = _run_one(spark, idx, args.index, args.query, args.k, args.scorer,
-                    args.wand)
+                    args.wand, part=getattr(args, "part", None))
     for r in rows:
         print(f"{r['doc']}\t{r['rank']}\t{r['score']:.6f}", file=sys.stderr)
     snippets = None
@@ -274,7 +281,8 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
     def run(q) -> tuple[dict, list, float]:
         t0 = time.perf_counter()
         rows = _run_one(spark, idx, args.index, q["text"], args.k,
-                        args.scorer, args.wand, reader=reader)
+                        args.scorer, args.wand, reader=reader,
+                        part=getattr(args, "part", None))
         return q, rows, time.perf_counter() - t0
 
     if args.threads > 1:
@@ -831,6 +839,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--block-size", type=int, default=512)
     b.add_argument("--bucket-bits", type=int, default=12)
+    b.add_argument("--stemmer", default=None,
+                   help="also write a stemmed postings.<name>/termstats."
+                        "<name> part (e.g. porter2) and make it the "
+                        "default text part, BuildIndex.java:409-455")
     b.add_argument("--id-col", default=None,
                    help="use this column as the doc id verbatim instead of "
                         "deterministic numbering")
@@ -843,6 +855,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--cores", type=int, default=8)
     s.add_argument("--scorer", default="dirichlet")
     s.add_argument("--wand", action="store_true")
+    s.add_argument("--part", default=None,
+                   help="text part to query (postings | postings.<stemmer>;"
+                        " default: the index's default part)")
     s.add_argument("--corpus", default=None,
                    help="corpus parquet dir: emit highlighted snippets per hit")
     s.set_defaults(fn=cmd_search)
@@ -854,6 +869,8 @@ def main(argv: list[str] | None = None) -> int:
     bs.add_argument("--cores", type=int, default=8)
     bs.add_argument("--scorer", default="bm25")
     bs.add_argument("--wand", action="store_true")
+    bs.add_argument("--part", default=None,
+                    help="text part to query (postings | postings.<stemmer>)")
     bs.add_argument("--repeats", type=int, default=1)
     bs.add_argument("--threads", type=int, default=1)
     bs.add_argument("--mode", choices=["daat", "plan"], default="daat",

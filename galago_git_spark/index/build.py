@@ -149,6 +149,7 @@ def build_index(
     block_size: int | None = None,
     bucket_bits: int | None = None,
     id_col: str | None = None,
+    stemmer: str | None = None,
 ) -> dict:
     """Build all relational index parts under ``index_dir``.
 
@@ -157,6 +158,19 @@ def build_index(
     with a parquet ``_SUCCESS`` marker are skipped — the analog of
     TupleFlow's CheckpointedStageExecutor
     (``tupleflow/.../execution/CheckpointedStageExecutor.java``).
+
+    ``stemmer`` (the SURVEY §2.2 term_transform hook) additionally writes
+    a stemmed postings/termstats pair under ``postings.<name>`` /
+    ``termstats.<name>`` — the ``BuildIndex.java:409-455`` stemmed-part
+    stages (``postings.krovetz``/``postings.porter``); query routing then
+    prefers the stemmed part (``DiskIndex.java:200-222``,
+    ``TextPartAssigner.java``). Names resolve through
+    ``functions.stem.get_stemmer`` ("porter2" built in; Krovetz excluded
+    per the north rule; ``register_stemmer`` adds custom transforms).
+    The stemmed part derives from the raw postings parquet — one
+    Arrow-vectorized stem of the ``term`` column plus one re-aggregation
+    shuffle over (stem, doc) — positions merged sorted, so window
+    operators over the stemmed part see the same token coordinates.
     """
     spark = docs.sparkSession
     if num_term_partitions is None:
@@ -451,7 +465,56 @@ def build_index(
             avgdl=cl / max(n_docs, 1),
         )
 
+    # stemmed postings + termstats parts (BuildIndex.java:139-161 stemmed
+    # stages) — derived from the raw postings parquet, so they join wave 2
+    def write_stemmed() -> None:
+        from galago_git_spark.functions.stem import get_stemmer, stem_pandas
+
+        get_stemmer(stemmer)  # fail fast on unknown names
+        sp_path = os.path.join(index_dir, f"postings.{stemmer}")
+        st_path = os.path.join(index_dir, f"termstats.{stemmer}")
+        t0 = time.time()
+        raw = spark.read.parquet(postings_path)
+        stemmed = raw.withColumn("term", stem_pandas(F.col("term"), stemmer))
+        if positions:
+            merged = stemmed.groupBy("term", "doc").agg(
+                F.sum("tf").alias("tf"),
+                F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                    "positions"
+                ),
+            )
+        else:
+            merged = stemmed.groupBy("term", "doc").agg(F.sum("tf").alias("tf"))
+        (
+            merged.repartitionByRange(num_term_partitions, "term", "doc")
+            .sortWithinPartitions("term", "doc")
+            .write.mode("overwrite")
+            .parquet(sp_path)
+        )
+        record(f"postings.{stemmer}", sp_path, t0)
+        t1 = time.time()
+        (
+            spark.read.parquet(sp_path)
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("cf"),
+                F.max("tf").alias("max_tf"),
+            )
+            .repartitionByRange(max(1, num_term_partitions // 4), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(st_path)
+        )
+        record(f"termstats.{stemmer}", st_path, t1)
+
+    if stemmer:
+        with MANIFEST_LOCK:
+            manifest["params"]["stemmer"] = stemmer
+
     wave2 = [("lengths", write_lengths), ("termstats", write_termstats)]
+    if stemmer:
+        wave2.append((f"postings.{stemmer}", write_stemmed))
     if packed:
         wave2.append(("blocks", write_blocks))
     for wave in (wave1, wave2):
@@ -494,6 +557,14 @@ class Index:
     indicator: DataFrame | None = None  # (doc, indicator bool) part
     indicator_default: bool = False  # value for docs absent from the part
     field_postings: DataFrame | None = None  # (field, term, doc, tf, positions)
+    # stemmer name -> {"postings": DF, "termstats": DF} (postings.<name>)
+    stemmed_parts: dict | None = None
+    # the DiskIndex default-part resolution result (DiskIndex.java:200-222):
+    # "postings.<stemmer>" when a stemmed part exists, else "postings"
+    default_text_part: str = "postings"
+    # the transform already applied to THIS view's postings/termstats
+    # (None = raw part) — routing guards on it to never double-stem
+    stemmer_name: str | None = None
 
     _termstats_cache: dict | None = None
     _node_stats_cache: dict | None = None  # str(node) -> TermStats
@@ -521,6 +592,33 @@ class Index:
             for t in ordered
             if self._termstats_cache[t] is not None
         }
+
+    def stemmed_view(self, name: str) -> "Index":
+        """An Index whose text plane IS the stemmed part — the engine-side
+        analog of routing a query to ``postings.<stemmer>``
+        (TextPartAssigner.assignPart). Lengths/names/extents/typed-fields/
+        priors/indicator are shared (stemming changes neither doc lengths
+        nor token coordinates); parts built from RAW tokens (window
+        n-gram parts, field postings) are dropped so their rewrites can
+        never silently mix vocabularies. Fresh stats caches."""
+        import dataclasses
+
+        if not self.stemmed_parts or name not in self.stemmed_parts:
+            raise ValueError(
+                f"no stemmed part {name!r}; built: "
+                f"{sorted(self.stemmed_parts or {})}"
+            )
+        part = self.stemmed_parts[name]
+        return dataclasses.replace(
+            self,
+            postings=part["postings"],
+            termstats=part["termstats"],
+            window_parts=None,
+            field_postings=None,
+            stemmer_name=name,
+            _termstats_cache=None,
+            _node_stats_cache=None,
+        )
 
 
 def open_index(spark: SparkSession, index_dir: str) -> Index:
@@ -565,7 +663,29 @@ def open_index(spark: SparkSession, index_dir: str) -> Index:
     field_postings = (
         spark.read.parquet(fp_path) if os.path.exists(fp_path) else None
     )
+    # stemmed parts: every postings.<name> dir with a matching termstats
+    # (DiskIndex part discovery, DiskIndex.java:176-199)
+    stemmed_parts: dict = {}
+    for entry in sorted(os.listdir(index_dir)):
+        if not entry.startswith("postings."):
+            continue
+        sname = entry.split(".", 1)[1]
+        st_path = os.path.join(index_dir, f"termstats.{sname}")
+        if os.path.exists(os.path.join(index_dir, entry, "_SUCCESS")) and \
+                os.path.exists(st_path):
+            stemmed_parts[sname] = {
+                "postings": spark.read.parquet(os.path.join(index_dir, entry)),
+                "termstats": spark.read.parquet(st_path),
+            }
+    default_text_part = "postings"
+    if stemmed_parts:
+        # the manifest's built stemmer wins; otherwise any single part
+        built = (manifest_json or {}).get("params", {}).get("stemmer")
+        pick = built if built in stemmed_parts else sorted(stemmed_parts)[0]
+        default_text_part = f"postings.{pick}"
     return Index(
+        stemmed_parts=stemmed_parts or None,
+        default_text_part=default_text_part,
         extents=extents,
         priors=priors,
         fields_part=fields_part,

@@ -1916,8 +1916,84 @@ SQL_TRECTEXT_PARSE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# stemmed part (term_transform hook): build + query routing
+# ---------------------------------------------------------------------------
+
+def q_stemmed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The porter2-stemmed postings part (BuildIndex.java:409-455 analog):
+    every (stem, doc, tf) row. Non-vacuous stem check — the oracle's
+    value hash covers the SQL stemmer's output on the whole corpus
+    vocabulary (custom/merg/queri/tabl/valu differ from their surface
+    forms)."""
+    idx = inline_index(_docs(spark, sf_dir), stemmer="porter2")
+    return idx.stemmed_parts["porter2"]["postings"].select("term", "doc", "tf")
+
+
+def _sql_stem_vocab() -> str:
+    """Shared CTE chain: tokenized corpus + pure-SQL porter2 over its
+    vocabulary (functions/stem_sql.py — an independent implementation of
+    the public algorithm, golden-pinned in tests/test_stem.py)."""
+    from galago_git_spark.functions.stem_sql import porter2_ctes
+
+    return f"""{TOKS}, {TOK},
+vocab AS (SELECT DISTINCT term FROM tok),
+{porter2_ctes('vocab')}"""
+
+
+SQL_STEMMED_POSTINGS = f"""WITH {_sql_stem_vocab()}
+SELECT s.stem AS term, t.doc, count(*) AS tf
+FROM tok t JOIN stemmed s USING (term)
+GROUP BY s.stem, t.doc"""
+
+
+def q_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet #combine over INFLECTED query terms routed through the
+    stemmed default part (TextPartAssigner.assignPart +
+    Stemmer.stemAsRequired): 'tables queries customer' matches docs via
+    tabl/queri/custom — unstemmed, 'tables' and 'queries' match nothing,
+    so this entry is vacuous unless both sides stem identically."""
+    idx = inline_index(_docs(spark, sf_dir), stemmer="porter2")
+    return _ranked(score_frame("#combine(tables queries customer)", idx))
+
+
+def _sql_stemmed_dirichlet(raw_terms: list[str], mu=1500.0) -> str:
+    """Dirichlet over the SQL-stemmed postings; query terms stem through
+    the SAME SQL chain (distinct stems assumed — weights stay 1/n)."""
+    from galago_git_spark.functions.stem_sql import porter2_ctes
+
+    terms_arr = "[" + ", ".join(f"'{t}'" for t in raw_terms) + "]"
+    w = 1.0 / len(raw_terms)
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+rawq AS (SELECT unnest({terms_arr}) AS term),
+vocab AS (SELECT DISTINCT term FROM tok UNION SELECT term FROM rawq),
+{porter2_ctes('vocab')},
+qt AS (SELECT DISTINCT s.stem AS term, {w}::double AS w
+       FROM stemmed s JOIN rawq r USING (term)),
+spost AS (SELECT s.stem AS term, t.doc, count(*)::double AS tf
+          FROM tok t JOIN stemmed s USING (term)
+          GROUP BY s.stem, t.doc),
+post AS (SELECT term, doc, tf FROM spost
+         WHERE term IN (SELECT term FROM qt)),
+ts AS (SELECT term, sum(tf) AS cf FROM post GROUP BY term),
+cand AS (SELECT DISTINCT doc FROM post),
+scored AS (
+  SELECT c.doc,
+         sum(q.w * ln((coalesce(p.tf, 0) + {mu} * coalesce(ts.cf, 0.5) / cs.cl)
+                      / (l.length + {mu}))) AS s
+  FROM cand c
+  CROSS JOIN qt q
+  LEFT JOIN ts ON ts.term = q.term
+  LEFT JOIN post p ON p.doc = c.doc AND p.term = q.term
+  JOIN lens l ON l.doc = c.doc
+  CROSS JOIN cs
+  GROUP BY c.doc)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "fti_stemmed_postings": q_stemmed_postings,
+        "fti_stemmed_topk": q_stemmed_topk,
         "fti_postings": q_postings,
         "fti_doc_lengths": q_doc_lengths,
         "fti_term_stats": q_term_stats,
@@ -1995,6 +2071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fti_stemmed_postings": SQL_STEMMED_POSTINGS,
+        "fti_stemmed_topk": _rank_sql(
+            _sql_stemmed_dirichlet(["tables", "queries", "customer"])
+        ),
         "fti_postings": SQL_POSTINGS,
         "fti_doc_lengths": SQL_DOC_LENGTHS,
         "fti_term_stats": SQL_TERM_STATS,

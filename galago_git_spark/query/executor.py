@@ -74,6 +74,7 @@ _SCORE_SUBTREES = ("wsum", "scale", "log", "bm25fcomb", "combine", "boost", "log
 def inline_index(
     docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
     fields: bool = False, field_formats: dict[str, str] | None = None,
+    stemmer: str | None = None,
 ) -> Index:
     """Build an in-memory (lazy, no disk) index view over any table with a
     document id and a text column — used for oracle-checked queries over
@@ -113,7 +114,31 @@ def inline_index(
         from galago_git_spark.index.fieldindex import build_field_part
 
         fields_part = build_field_part(docs, field_formats, doc_col=doc_col)
+    stemmed_parts = None
+    default_text_part = "postings"
+    if stemmer:
+        from galago_git_spark.functions.stem import stem_pandas
+
+        sp = (
+            postings.withColumn("term", stem_pandas(F.col("term"), stemmer))
+            .groupBy("term", "doc")
+            .agg(
+                F.sum("tf").alias("tf"),
+                F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                    "positions"
+                ),
+            )
+        )
+        st = sp.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        stemmed_parts = {stemmer: {"postings": sp, "termstats": st}}
+        default_text_part = f"postings.{stemmer}"
     return Index(
+        stemmed_parts=stemmed_parts,
+        default_text_part=default_text_part,
         spark=docs.sparkSession,
         index_dir="<inline>",
         postings=postings,
@@ -125,6 +150,58 @@ def inline_index(
         fields_part=fields_part,
         field_formats=dict(field_formats) if field_formats else None,
     )
+
+
+# --------------------------------------------------------------------------
+# text-part routing (stemmed parts)
+# --------------------------------------------------------------------------
+
+def stem_leaves(node: Node, stemmer) -> Node:
+    """Apply the part's term transform to every text leaf — the query
+    half of stemming (``Stemmer.stemAsRequired``, Stemmer.java:94-101,
+    invoked when a leaf routes to ``postings.<stemmer>``). Only the three
+    term-leaf operators transform; field names, typed field comparisons,
+    and operator parameters never do."""
+    from galago_git_spark.functions.stem import stem_as_required
+
+    if node.operator in ("counts", "extents", "text") and not node.children:
+        term = node.get_str("default")
+        if term is not None:
+            params = dict(node.parameters)
+            params["default"] = stem_as_required(term, stemmer)
+            return Node(node.operator, params, [])
+        return node
+    if node.operator == "inside":
+        # stem only the X side; the #field/#extentor side names tag spans
+        return Node(node.operator, dict(node.parameters),
+                    [stem_leaves(node.children[0], stemmer)] + node.children[1:])
+    return Node(
+        node.operator,
+        dict(node.parameters),
+        [stem_leaves(c, stemmer) for c in node.children],
+    )
+
+
+def _resolve_text_part(index: Index, part: str | None):
+    """TextPartAssigner.assignPart (util/TextPartAssigner.java): pick the
+    text part for this query — explicit ``part`` wins, else the index's
+    default (stemmed when built). Returns (routed index view, stemmer fn
+    or None). A view that already applied a transform never re-routes
+    (recursive score_frame calls must not double-stem)."""
+    if index.stemmer_name is not None:
+        return index, None
+    part = part or index.default_text_part
+    if part == "postings" or not index.stemmed_parts:
+        return index, None
+    name = part.split(".", 1)[1] if "." in part else part
+    if name not in index.stemmed_parts:
+        raise ValueError(
+            f"unknown text part {part!r}; available: postings, "
+            + ", ".join(f"postings.{s}" for s in sorted(index.stemmed_parts))
+        )
+    from galago_git_spark.functions.stem import get_stemmer
+
+    return index.stemmed_view(name), get_stemmer(name)
 
 
 # --------------------------------------------------------------------------
@@ -692,12 +769,19 @@ def score_frame(
     index: Index,
     default_scorer: str = "dirichlet",
     op_repls: dict | None = None,
+    part: str | None = None,
 ) -> DataFrame:
     """Full scored candidate set ``(doc, score)`` — unranked, unlimited.
     The building block for execute() and for oracle-checked wrappers that
     need to rank on rounded scores. ``op_repls`` is the user operator
-    aliasing map (ReplaceOperatorTraversal's ``opRepls`` parameter)."""
+    aliasing map (ReplaceOperatorTraversal's ``opRepls`` parameter).
+    ``part`` picks the text part (``"postings"`` forces the raw part;
+    default = the index's DiskIndex-style default, i.e. the stemmed part
+    when one was built); query terms are transformed to match."""
     node = parse(query) if isinstance(query, str) else query
+    index, _stem_fn = _resolve_text_part(index, part)
+    if _stem_fn is not None:
+        node = stem_leaves(node, _stem_fn)
     if op_repls:
         # ReplaceOperatorTraversal runs FIRST in the reference pipeline —
         # before RelevanceModelTraversal — so user aliasing must apply
@@ -752,6 +836,7 @@ def execute(
     default_scorer: str = "dirichlet",
     with_names: bool = False,
     op_repls: dict | None = None,
+    part: str | None = None,
 ) -> DataFrame:
     """Parse (if needed), transform, compile, and run a ranked query.
 
@@ -761,7 +846,8 @@ def execute(
     ``{"dummy": ["stopword", "combine"]}``) applied before the rewrite
     pipeline — ReplaceOperatorTraversal's ``opRepls`` parameter.
     """
-    scored = score_frame(query, index, default_scorer, op_repls=op_repls)
+    scored = score_frame(query, index, default_scorer, op_repls=op_repls,
+                         part=part)
     out = (
         scored.orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(k)
