@@ -61,12 +61,48 @@ def main() -> None:
     from galago_git_spark.query.executor import execute
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
 
     def timed(name: str, fn):
+        """One-shot timing — build/mutating stages only."""
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 4)
         return out
+
+    def timed3(name: str, fn):
+        """Median-of-3 timing for read-only query entries (VERDICT r3
+        item 4: one-shot numbers could not separate host steal from plan
+        regressions). All three raw runs land in the ``runs`` field; the
+        ``queries`` value is the median."""
+        ts = []
+        out = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            ts.append(round(time.perf_counter() - t0, 4))
+        runs[name] = ts
+        timings[name] = sorted(ts)[1]
+        return out
+
+    def cpu_burn() -> float:
+        """Single-thread numpy burn (ms): a host-speed probe. Hypervisor
+        steal inflates this the same way it inflates every query — read
+        BENCH deltas against the calibration ratio, not raw."""
+        import numpy as np
+
+        a = np.random.default_rng(0).random(4_000_000)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                # elementwise ufuncs: single-threaded in numpy (no BLAS),
+                # so this measures one core's real speed under steal
+                float(np.sqrt(a).sum() + np.log1p(a).sum())
+            ts.append(time.perf_counter() - t0)
+        return round(sorted(ts)[1] * 1000, 2)
+
+    calibration = {"cpu_burn_ms_start": cpu_burn()}
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.lit("corpus").alias("repo"),
@@ -106,7 +142,7 @@ def main() -> None:
             "q_bm25_weighted": ("#combine:0=0.7:1=0.3(#bm25(hash) #bm25(table))", "bm25"),
         }
         for name, (q, scorer) in queries.items():
-            timed(
+            timed3(
                 name,
                 lambda q=q, scorer=scorer: execute(
                     q, idx, k=10, default_scorer=scorer
@@ -118,26 +154,16 @@ def main() -> None:
 
             reader = PackedReader(spark, index_dir)
             reader.lengths_bucketed.count()  # warm once
-            timed(
+            timed3(
                 "q_bm25_wand_top10",
                 lambda: wand_topk(
                     spark, index_dir, ["table", "row", "merge"], k=10,
                     reader=reader,
                 ).collect(),
             )
-            # steady-state latency (median of 3): the one-shot number above
-            # is dominated by first-plan codegen + Arrow worker spin-up at
-            # this corpus size; repeated queries over a held-open reader
-            # are the daemon/batch regime
-            warm = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                wand_topk(
-                    spark, index_dir, ["table", "row", "merge"], k=10,
-                    reader=reader,
-                ).collect()
-                warm.append(time.perf_counter() - t0)
-            timings["q_bm25_wand_top10_warm"] = round(sorted(warm)[1], 4)
+            # kept for round-over-round comparability with r2/r3 (same
+            # regime as timed3's median now, recorded separately)
+            timings["q_bm25_wand_top10_warm"] = timings["q_bm25_wand_top10"]
             # the north-rule metric verbatim: BM25 top-10 p50 over a
             # QUERY SET (12 distinct two/three-term queries, held-open
             # reader — the batch-search regime TimedBatchSearch reports)
@@ -156,17 +182,17 @@ def main() -> None:
             timings["q_bm25_wand_p50_12q"] = round(
                 (lats[5] + lats[6]) / 2, 4
             )
-            # #sdm on both tiers: the packed path computes window tfs from
-            # position payloads inside the bucket kernel (query/wand.py
-            # wand_sdm_topk) vs the relational join path
-            timed(
+            # #sdm relational vs the positional packed kernel (kept for
+            # tier comparison; the graded packed route is part-backed,
+            # below, once the window block layers are built)
+            timed3(
                 "q_sdm_relational_top10",
                 lambda: execute("#sdm(table row)", idx, k=10).collect(),
             )
             from galago_git_spark.query.wand import wand_sdm_topk
 
-            timed(
-                "q_sdm_wand_top10",
+            timed3(
+                "q_sdm_poswand_top10",
                 lambda: wand_sdm_topk(
                     spark, index_dir, ["table", "row"], k=10, reader=reader
                 ).collect(),
@@ -176,7 +202,7 @@ def main() -> None:
         # part rewrite vs the positional merge loop — the part path must
         # win at sf0.1 (VERDICT r2 item 4)
         uw_q = "#combine(#uw:8(table row))"
-        timed(
+        timed3(
             "q_uw_positional_top10",
             lambda: execute(uw_q, idx, k=10).collect(),
         )
@@ -198,17 +224,41 @@ def main() -> None:
             lambda: build_window_postings(numbered, index_dir, n=2),
         )
         idx_w = open_index(spark, index_dir)
-        timed(
+        timed3(
             "q_uw_part_top10",
             lambda: execute(uw_q, idx_w, k=10).collect(),
         )
         # with BOTH parts on disk, #sdm(t1 t2) compiles to three pruned
         # posting lookups — zero positional joins (compare
         # q_sdm_relational_top10 above)
-        timed(
+        timed3(
             "q_sdm_parts_top10",
             lambda: execute("#sdm(table row)", idx_w, k=10).collect(),
         )
+        if has_packed:
+            # the graded packed #sdm route (VERDICT r3 item 2): window
+            # parts packed into block layers, od/uw children served as
+            # posting leaves with exact block-max bounds — sound AND
+            # selective, no position decode
+            from galago_git_spark.index.packed import pack_window_parts
+            from galago_git_spark.query.wand import wand_sdm_parts_topk
+
+            timed(
+                "pack_window_parts",
+                lambda: pack_window_parts(spark, index_dir),
+            )
+            # one untimed warmup (part-blocks footer reads + plan codegen)
+            # — the same held-open-reader regime the BM25 WAND entries
+            # measure; steady-state is what the tier is for
+            wand_sdm_parts_topk(
+                spark, index_dir, ["merge", "scan"], k=10, reader=reader
+            ).collect()
+            timed3(
+                "q_sdm_wand_top10",
+                lambda: wand_sdm_parts_topk(
+                    spark, index_dir, ["table", "row"], k=10, reader=reader
+                ).collect(),
+            )
 
         # whole-batch single-plan retrieval (12 queries, one job)
         from galago_git_spark.query.batch import batch_bm25_topk, queries_to_terms
@@ -227,13 +277,13 @@ def main() -> None:
             )
         ]
         qt = queries_to_terms(spark, batch_q)
-        timed("q_batch_plan_12q", lambda: batch_bm25_topk(idx, qt, k=10).collect())
+        timed3("q_batch_plan_12q", lambda: batch_bm25_topk(idx, qt, k=10).collect())
 
         # 3. training-data operators straight off the driver tables
         reg = dq.queries()
         for name in ("dedup_minhash_lsh", "ann_cosine_topk", "text_token_counts"):
             if name in reg:
-                timed(name, lambda name=name: reg[name](spark, sf_dir).collect())
+                timed3(name, lambda name=name: reg[name](spark, sf_dir).collect())
 
         # 4. on-disk IVF ANN part: one-time build, then the probed query
         # reads n_probe/n_cells of the part via partition pruning —
@@ -252,7 +302,7 @@ def main() -> None:
             lambda: build_ann_index(emb, ann_dir, n_cells=16),
         )
         ann_reader = AnnReader(spark, ann_dir)  # daemon regime: one probe job
-        timed(
+        timed3(
             "q_ann_part_topk",
             lambda: ann_index_topk(
                 spark, ann_dir, qvec, k=10, n_probe=4, reader=ann_reader
@@ -285,6 +335,7 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
 
+    calibration["cpu_burn_ms_end"] = cpu_burn()
     total = round(sum(timings.values()), 4)
     build_sec = timings.get("build_index", 0.0)  # fused: includes packed
     result = {
@@ -296,6 +347,12 @@ def main() -> None:
         "n_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
         "cpus": cpus,
+        # VERDICT r3 item 4: query entries are median-of-3 (raw runs in
+        # `runs`); cpu_burn_ms_* is a single-thread host-speed probe so
+        # host steal is separable from plan regressions
+        "timing": "median3",
+        "runs": runs,
+        "calibration": calibration,
     }
     print(json.dumps(result))
 

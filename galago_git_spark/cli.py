@@ -46,6 +46,21 @@ def _get_spark(cores: int, app: str):
     )
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Existence probe that works for any Hadoop-visible filesystem
+    (hdfs:// s3a:// file:/ plain local). Local paths short-circuit to
+    os.path; URIs go through the JVM FileSystem so ``--resume`` against a
+    remote index path sees the landed marker."""
+    if "://" not in path:
+        import os
+
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def cmd_build(args: argparse.Namespace) -> dict:
     spark = _get_spark(args.cores, "galago-build")
     spark.sparkContext.setLogLevel("ERROR")
@@ -72,10 +87,15 @@ def cmd_build(args: argparse.Namespace) -> dict:
         )
 
         fmt = None if args.input_format == "auto" else args.input_format
-        parsed_dir = os.path.join(args.index, "corpus_parquet")
+        # URI-safe join + existence probe: os.path on an hdfs:/s3a: index
+        # path would mangle the URI and silently re-parse on --resume
+        if "://" in args.index:
+            parsed_dir = args.index.rstrip("/") + "/corpus_parquet"
+        else:
+            parsed_dir = os.path.join(args.index, "corpus_parquet")
         # checkpointed resume covers the parse stage too: a landed
         # (_SUCCESS) corpus_parquet is reused instead of re-parsed
-        if not (args.resume and os.path.exists(os.path.join(parsed_dir, "_SUCCESS"))):
+        if not (args.resume and _fs_exists(spark, parsed_dir + "/_SUCCESS")):
             if getattr(args, "input_split", False):
                 # record-split scan: one task per FILE-SPLIT — required
                 # when shards are huge; only delimiter-framed formats
@@ -106,6 +126,11 @@ def cmd_build(args: argparse.Namespace) -> dict:
         bucket_bits=args.bucket_bits,
         id_col=args.id_col,
         stemmer=getattr(args, "stemmer", None),
+        tag_fields=(
+            [f.strip() for f in args.tag_fields.split(",") if f.strip()]
+            if getattr(args, "tag_fields", None)
+            else None
+        ),
     )
     build_s = time.perf_counter() - t0
     packed_s = round(
@@ -125,47 +150,94 @@ def cmd_build(args: argparse.Namespace) -> dict:
 
 
 def _run_one(spark, index, index_dir: str, text: str, k: int, scorer: str,
-             use_wand: bool, reader=None, part: str | None = None):
+             use_wand: bool, reader=None, part: str | None = None,
+             working: list | None = None):
     from galago_git_spark.query.executor import execute
 
-    # the packed WAND tiers index RAW terms (blocks build from the raw
-    # postings part) — when the query routes to a stemmed part (the
-    # DiskIndex default once one is built), stay on the exhaustive path
-    # so rankings match the routed part (see executor._resolve_text_part)
+    if working:
+        # WorkingSetDocumentModel dispatch (ProcessingModel.java:66-74):
+        # a working set overrides every pruned processing model
+        return execute(text, index, k=k, default_scorer=scorer, part=part,
+                       working=working).collect()
+    # WAND tier resolution: the reader serves ONE text part (raw blocks,
+    # or blocks.<stemmer> when the stemmed default was packed). Query
+    # terms stem to match the routed part (TextPartAssigner +
+    # stemAsRequired — same rule as the exhaustive path), so --wand and
+    # default rankings agree. A stemmed default WITHOUT a packed stemmed
+    # layer falls through to the exhaustive path.
     effective_part = part or index.default_text_part
-    if use_wand and effective_part == "postings":
+    wand_reader = None
+    if use_wand:
+        from galago_git_spark.query.wand import PackedReader
+
+        if reader is not None and reader.text_part == effective_part:
+            wand_reader = reader
+        else:
+            try:
+                wand_reader = PackedReader(
+                    spark, index_dir, text_part=effective_part, cache=False
+                )
+            except (KeyError, FileNotFoundError, ValueError):
+                wand_reader = None  # tier not packed: exhaustive below
+    if use_wand and wand_reader is not None:
         from galago_git_spark.query.nodes import is_term_leaf
         from galago_git_spark.query.parser import parse
         from galago_git_spark.query.wand import (
             wand_eligible,
+            wand_sdm_parts_topk,
             wand_sdm_topk,
             wand_topk,
         )
+
+        def _route_terms(ts: list[str]) -> list[str]:
+            if wand_reader.stemmer_name is None:
+                return ts
+            from galago_git_spark.functions.stem import (
+                get_stemmer,
+                stem_as_required,
+            )
+
+            fn = get_stemmer(wand_reader.stemmer_name)
+            return [stem_as_required(t, fn) for t in ts]
 
         node = parse(text)
         eligible = wand_eligible(node, default_scorer=scorer)
         if eligible is not None:
             terms, weights = eligible
             return wand_topk(
-                spark, index_dir, terms, k=k, weights=weights, reader=reader
+                spark, index_dir, _route_terms(terms), k=k, weights=weights,
+                reader=wand_reader,
             ).collect()
-        # #sdm over bare terms with default dirichlet scoring -> the
-        # positional packed tier (window tfs from position payloads)
+        # #sdm over bare terms with default dirichlet scoring: prefer the
+        # part-backed flat tier (packed window parts — exact tight block
+        # bounds, no position decode), then the positional packed tier,
+        # then exhaustive
         if (
             node.operator in ("sdm", "seqdep")
             and scorer == "dirichlet"
             and all(is_term_leaf(c) for c in node.children)
             and len(node.children) >= 2
         ):
+            sdm_kw = dict(
+                k=k,
+                uniw=node.get_float("uniw", 0.8),
+                odw=node.get_float("odw", 0.15),
+                uww=node.get_float("uww", 0.05),
+                reader=wand_reader,
+            )
+            sdm_terms = _route_terms(
+                [str(c.default_param) for c in node.children]
+            )
+            try:
+                # raw tier only: window parts key the raw vocabulary
+                return wand_sdm_parts_topk(
+                    spark, index_dir, sdm_terms, **sdm_kw
+                ).collect()
+            except ValueError:
+                pass  # window block layers absent: positional tier next
             try:
                 return wand_sdm_topk(
-                    spark, index_dir,
-                    [str(c.default_param) for c in node.children],
-                    k=k,
-                    uniw=node.get_float("uniw", 0.8),
-                    odw=node.get_float("odw", 0.15),
-                    uww=node.get_float("uww", 0.05),
-                    reader=reader,
+                    spark, index_dir, sdm_terms, **sdm_kw
                 ).collect()
             except ValueError:
                 pass  # no positional packed layer: exhaustive path below
@@ -181,8 +253,13 @@ def cmd_search(args: argparse.Namespace) -> dict:
     from galago_git_spark.index.build import open_index
 
     idx = open_index(spark, args.index)
+    working = None
+    if getattr(args, "working", None):
+        raw = [w.strip() for w in args.working.split(",") if w.strip()]
+        working = [int(w) if w.lstrip("-").isdigit() else w for w in raw]
     rows = _run_one(spark, idx, args.index, args.query, args.k, args.scorer,
-                    args.wand, part=getattr(args, "part", None))
+                    args.wand, part=getattr(args, "part", None),
+                    working=working)
     for r in rows:
         print(f"{r['doc']}\t{r['rank']}\t{r['score']:.6f}", file=sys.stderr)
     snippets = None
@@ -238,7 +315,8 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
     if args.wand:
         from galago_git_spark.query.wand import PackedReader
 
-        reader = PackedReader(spark, args.index)
+        reader = PackedReader(spark, args.index,
+                              text_part=getattr(args, "part", None))
         reader.lengths_bucketed.count()  # warm the shared cache once
     with open(args.queries) as f:
         queries = json.load(f)["queries"]
@@ -282,7 +360,8 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
         t0 = time.perf_counter()
         rows = _run_one(spark, idx, args.index, q["text"], args.k,
                         args.scorer, args.wand, reader=reader,
-                        part=getattr(args, "part", None))
+                        part=getattr(args, "part", None),
+                        working=q.get("working"))
         return q, rows, time.perf_counter() - t0
 
     if args.threads > 1:
@@ -361,12 +440,228 @@ def cmd_build_window(args: argparse.Namespace) -> dict:
             numbered, args.index, n=args.n,
             frequency_threshold=args.threshold,
         )
+    packed = False
+    if getattr(args, "packed", False):
+        # pack the new part into its own block layer so #sdm/--wand can
+        # serve od/uw children as posting leaves (exact block-max bounds)
+        from galago_git_spark.index.packed import pack_window_parts
+
+        pack_window_parts(spark, args.index, resume=True)
+        packed = True
     dt = time.perf_counter() - t0
     spark.stop()
     return {
         "cmd": "build-window",
         "part": part_dir.rsplit("/", 1)[-1],
         "ordered": not args.unordered,
+        "packed": packed,
+        "build_sec": round(dt, 3),
+    }
+
+
+def cmd_overwrite_manifest(args: argparse.Namespace) -> dict:
+    """``galago overwrite-manifest`` analog (OverwriteManifestFn.java):
+    patch build parameters of an index after the fact. The reference
+    rewrites a btree footer's JSON; here the manifest IS a JSON file, so
+    this merges ``--set key=value`` pairs (values parsed as JSON, falling
+    back to string) into ``manifest.json``'s ``params``. Same caution as
+    the reference: changing geometry params (bucket_bits etc.) can make
+    parts unreadable."""
+    import os
+
+    manifest_path = os.path.join(args.index, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    changed = {}
+    for kv in args.set or []:
+        if "=" not in kv:
+            raise SystemExit(f"--set expects key=value, got {kv!r}")
+        k, v = kv.split("=", 1)
+        try:
+            val = json.loads(v)
+        except json.JSONDecodeError:
+            val = v
+        manifest.setdefault("params", {})[k] = val
+        changed[k] = val
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return {"cmd": "overwrite-manifest", "index": args.index,
+            "params_set": changed}
+
+
+def cmd_tokenize(args: argparse.Namespace) -> dict:
+    """``galago tokenize`` / TokenizeAndGrabStats analog: run the
+    engine's tokenizer over a string or file and report the term stream
+    + basic stats — no Spark session needed (the tokenizer is a pure
+    function). ``--tag-fields`` switches to the tag-aware stream and
+    also reports the extracted tag spans."""
+    if args.text is not None:
+        text = args.text
+    elif args.file:
+        with open(args.file, encoding="utf-8", errors="replace") as f:
+            text = f.read()
+    else:
+        raise SystemExit("tokenize: provide --text or --file")
+    out: dict = {"cmd": "tokenize"}
+    if args.tag_fields:
+        from galago_git_spark.functions.tagtok import parse_tagged_py
+
+        wl = [t.strip() for t in args.tag_fields.split(",") if t.strip()]
+        terms, extents = parse_tagged_py(text, wl)
+        out["tags"] = [
+            {"field": f, "begin": b, "end": e} for f, b, e in extents
+        ]
+    else:
+        from galago_git_spark.functions.tokenize import tokenize_py
+
+        terms = tokenize_py(text)
+    if args.stemmer:
+        from galago_git_spark.functions.stem import get_stemmer
+
+        terms = [get_stemmer(args.stemmer)(t) for t in terms]
+    from collections import Counter
+
+    counts = Counter(terms)
+    out.update(
+        {
+            "n_terms": len(terms),
+            "n_unique": len(counts),
+            "terms": terms if args.full else terms[:50],
+            "top": counts.most_common(10),
+        }
+    )
+    return out
+
+
+def cmd_build_partial(args: argparse.Namespace) -> dict:
+    """``galago build-partial-index`` analog (BuildPartialIndex.java):
+    build a new index over a SUBSET of an existing index's documents,
+    named by a file of identifiers (one per line — ``repo:path@commit``
+    external names or internal doc numbers). The reference pulls the
+    subset from the corpus part; here the corpus is ``--corpus`` parquet
+    (or the source index's ``corpus_parquet`` from a --input-format
+    build). Build params the subset inherits: the source manifest's
+    stemmer and tag_fields."""
+    import os
+
+    spark = _get_spark(args.cores, "galago-build-partial")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from galago_git_spark.index.build import build_index, open_index
+    from galago_git_spark.operators.docs import name_expr
+
+    idx = open_index(spark, args.index)
+    corpus_path = args.corpus or os.path.join(args.index, "corpus_parquet")
+    if not os.path.exists(corpus_path):
+        raise SystemExit(
+            f"build-partial: no corpus at {corpus_path} — pass --corpus "
+            "(the reference likewise requires a corpus part)"
+        )
+    corpus = spark.read.parquet(corpus_path)
+    with open(args.names) as f:
+        idents = [ln.strip() for ln in f if ln.strip()]
+    numeric = [int(i) for i in idents if i.lstrip("-").isdigit()]
+    named = [i for i in idents if not i.lstrip("-").isdigit()]
+    keep = idx.names.filter(
+        F.col("doc").isin(numeric) | name_expr().isin(named)
+        if named and numeric
+        else (F.col("doc").isin(numeric) if numeric else name_expr().isin(named))
+    ).select("repo", "path", "commit")
+    subset = corpus.join(F.broadcast(keep), ["repo", "path", "commit"])
+    manifest_path = os.path.join(args.index, "manifest.json")
+    src_params: dict = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            src_params = json.load(f).get("params", {})
+    t0 = time.perf_counter()
+    manifest = build_index(
+        subset,
+        args.output,
+        positions=args.positions,
+        packed=args.packed,
+        stemmer=src_params.get("stemmer"),
+        tag_fields=src_params.get("tag_fields"),
+    )
+    n = sum(r["rows"] for r in manifest["parts"]["names"]["lineage"])
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cmd": "build-partial",
+        "output": args.output,
+        "n_docs": n,
+        "requested": len(idents),
+        "build_sec": round(dt, 3),
+    }
+
+
+def cmd_build_special(args: argparse.Namespace) -> dict:
+    """``galago build-special`` analog (``tools/apps/BuildSpecialPart.java``):
+    load a prior or indicator part from delimiter-split text files of
+    ``<doc identifier><sep><value>`` lines into the existing part writers
+    (index/build.build_prior_part / build_indicator_part).
+
+    Identifiers may be internal doc numbers or external names
+    (``repo:path@commit`` — resolved through the names part, one batch
+    join, NumberKeyValuePairs analog); lines whose identifier is not in
+    the index are dropped (the reference's documented behavior). Priors:
+    ``--prior-type raw`` stores values as-is (already log-space);
+    ``prob`` applies ln() (PriorExtractor.java:31-43). The parts land at
+    the engine's fixed ``priors``/``indicator`` dirs (the reference's
+    --partName is not configurable here — the query side reads one part)."""
+    spark = _get_spark(args.cores, "galago-build-special")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from galago_git_spark.index.build import (
+        build_indicator_part,
+        build_prior_part,
+        open_index,
+    )
+    from galago_git_spark.operators.docs import name_expr
+
+    idx = open_index(spark, args.index)
+    lines = spark.read.csv(
+        args.input.split(","), sep=args.split,
+        schema="ident string, value string",
+    ).filter(F.col("ident").isNotNull())
+    # internal numbers pass through; external names resolve via ONE join
+    # against the names part (KeyValuePair sort + NumberKeyValuePairs)
+    numeric = lines.filter(F.col("ident").rlike("^[0-9]+$")).select(
+        F.col("ident").cast("long").alias("doc"), "value"
+    ).join(idx.names.select("doc"), "doc", "left_semi")
+    named = (
+        lines.filter(~F.col("ident").rlike("^[0-9]+$"))
+        .join(
+            idx.names.select("doc", name_expr().alias("ident")), "ident"
+        )
+        .select("doc", "value")
+    )
+    resolved = numeric.unionByName(named)
+    t0 = time.perf_counter()
+    if args.type == "indicator":
+        part = build_indicator_part(
+            resolved.select(
+                "doc", (F.lower("value") == "true").alias("indicator")
+            ),
+            args.index,
+            default=args.default,
+        )
+    else:
+        val = F.col("value").cast("double")
+        if args.prior_type.startswith("prob"):
+            val = F.log(val)  # PriorExtractor.java:33-43
+        part = build_prior_part(
+            resolved.select("doc", val.alias("prior")), args.index
+        )
+    n = spark.read.parquet(part).count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cmd": "build-special",
+        "type": args.type,
+        "part": part,
+        "rows": n,
         "build_sec": round(dt, 3),
     }
 
@@ -839,6 +1134,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--block-size", type=int, default=512)
     b.add_argument("--bucket-bits", type=int, default=12)
+    b.add_argument("--tag-fields", default=None,
+                   help="comma-separated SGML tag names to extract as "
+                        "fields (tag-aware tokenization, TagTokenizer "
+                        "whitelist semantics) — e.g. title,h1 for "
+                        "--input-format trectext/html builds")
     b.add_argument("--stemmer", default=None,
                    help="also write a stemmed postings.<name>/termstats."
                         "<name> part (e.g. porter2) and make it the "
@@ -858,6 +1158,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--part", default=None,
                    help="text part to query (postings | postings.<stemmer>;"
                         " default: the index's default part)")
+    s.add_argument("--working", default=None,
+                   help="comma-separated doc ids or names: score exactly "
+                        "this set (WorkingSetDocumentModel rerank; "
+                        "batch-search takes a per-query 'working' list)")
     s.add_argument("--corpus", default=None,
                    help="corpus parquet dir: emit highlighted snippets per hit")
     s.set_defaults(fn=cmd_search)
@@ -887,6 +1191,10 @@ def main(argv: list[str] | None = None) -> int:
     bw.add_argument("--unordered", action="store_true",
                     help="build the unordered window part instead (uses --n/--width)")
     bw.add_argument("--width", type=int, default=8)
+    bw.add_argument("--packed", action="store_true",
+                    help="also pack the window part into a block layer "
+                         "(<part>/blocks) for the part-backed #sdm WAND "
+                         "tier; requires the index's main packed layer")
     bw.add_argument("--threshold", type=int, default=0,
                     help="drop windows with collection frequency below this")
     bw.add_argument("--seed", type=int, default=42)
@@ -894,6 +1202,53 @@ def main(argv: list[str] | None = None) -> int:
     bw.add_argument("--id-col", default=None,
                     help="must match the --id-col the index was built with")
     bw.set_defaults(fn=cmd_build_window)
+
+    bp = sub.add_parser("build-partial")
+    bp.add_argument("--index", required=True, help="source index dir")
+    bp.add_argument("--names", required=True,
+                    help="file of doc identifiers, one per line "
+                         "(repo:path@commit names or internal numbers)")
+    bp.add_argument("--output", required=True, help="new index dir")
+    bp.add_argument("--corpus", default=None,
+                    help="corpus parquet (default: <index>/corpus_parquet)")
+    bp.add_argument("--positions", action="store_true")
+    bp.add_argument("--packed", action="store_true")
+    bp.add_argument("--cores", type=int, default=8)
+    bp.set_defaults(fn=cmd_build_partial)
+
+    om = sub.add_parser("overwrite-manifest")
+    om.add_argument("--index", required=True)
+    om.add_argument("--set", action="append", default=[],
+                    help="key=value (value parsed as JSON when possible); "
+                         "repeatable")
+    om.set_defaults(fn=cmd_overwrite_manifest)
+
+    tk = sub.add_parser("tokenize")
+    tk.add_argument("--text", default=None)
+    tk.add_argument("--file", default=None)
+    tk.add_argument("--tag-fields", default=None,
+                    help="comma-separated tags: tag-aware stream + spans")
+    tk.add_argument("--stemmer", default=None)
+    tk.add_argument("--full", action="store_true",
+                    help="print every term, not just the first 50")
+    tk.set_defaults(fn=cmd_tokenize)
+
+    bsp = sub.add_parser("build-special")
+    bsp.add_argument("--index", required=True)
+    bsp.add_argument("--input", required=True,
+                     help="comma-separated text files of "
+                          "<doc id or name><sep><value> lines")
+    bsp.add_argument("--type", choices=["prior", "indicator"], required=True)
+    bsp.add_argument("--split", default="\t",
+                     help="field separator (default tab)")
+    bsp.add_argument("--prior-type", default="raw",
+                     choices=["raw", "prob"],
+                     help="raw = values already log-space; prob = apply ln "
+                          "(PriorExtractor.java:31-43)")
+    bsp.add_argument("--default", action="store_true",
+                     help="indicator value for docs absent from the part")
+    bsp.add_argument("--cores", type=int, default=8)
+    bsp.set_defaults(fn=cmd_build_special)
 
     ba = sub.add_parser("build-ann")
     ba.add_argument("--input", required=True, help="embeddings parquet dir")

@@ -150,6 +150,7 @@ def build_index(
     bucket_bits: int | None = None,
     id_col: str | None = None,
     stemmer: str | None = None,
+    tag_fields: list[str] | None = None,
 ) -> dict:
     """Build all relational index parts under ``index_dir``.
 
@@ -171,7 +172,20 @@ def build_index(
     Arrow-vectorized stem of the ``term`` column plus one re-aggregation
     shuffle over (stem, doc) — positions merged sorted, so window
     operators over the stemmed part see the same token coordinates.
+
+    ``tag_fields`` switches the build to the TAG-AWARE token stream
+    (functions/tagtok.py — TagTokenizer.java semantics: markup stripped,
+    script/style dropped) and extracts the named tags' spans into the
+    extents part plus a field-postings part, so ``term.title`` works on
+    ``build --input-format trectext/html`` indexes exactly like the
+    reference's whitelisted-tag fields. Mutually exclusive with the
+    code-structural ``fields=True`` (one token geometry per index).
     """
+    if tag_fields and fields:
+        raise ValueError(
+            "tag_fields and fields=True are mutually exclusive — an index "
+            "has one token geometry (code-structural OR tag-span fields)"
+        )
     spark = docs.sparkSession
     if num_term_partitions is None:
         num_term_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -251,7 +265,19 @@ def build_index(
         from galago_git_spark.functions.tokenize import doc_term_freqs
 
         t0 = time.time()
-        if tokenizer == "native":
+        if tag_fields:
+            from galago_git_spark.functions.tagtok import (
+                tagged_postings_stream,
+            )
+
+            schema = "doc long, term string, tf long"
+            if positions:
+                schema += ", positions array<int>"
+            postings = numbered.select("doc", "content").mapInPandas(
+                tagged_postings_stream(tuple(tag_fields), positions),
+                schema=schema,
+            )
+        elif tokenizer == "native":
             # legacy explode + hash-agg path (kept for parity testing)
             toks = tokenized_docs(numbered, tokenizer)
             token_rows = toks.select(
@@ -349,6 +375,56 @@ def build_index(
         )
         record("fields", fields_path, t0)
 
+    # tag-span extents part (TagTokenizer whitelisted tags -> the same
+    # (doc, field, begin, end) shape as the code-structural extents)
+    def write_tag_extents() -> None:
+        from galago_git_spark.functions.tagtok import tagged_extents_stream
+
+        extents_path = os.path.join(index_dir, "extents")
+        t0 = time.time()
+        (
+            numbered.select("doc", "content")
+            .mapInPandas(
+                tagged_extents_stream(tuple(tag_fields)),
+                schema="doc long, field string, begin int, end int",
+            )
+            .repartitionByRange(num_term_partitions, "field", "doc")
+            .sortWithinPartitions("field", "doc", "begin")
+            .write.mode("overwrite")
+            .parquet(extents_path)
+        )
+        record("extents", extents_path, t0)
+
+    # tagged field-postings part: derived from the WRITTEN postings and
+    # extents parquet (containment join — identical semantics to the
+    # query-side #inside join it replaces), so it joins wave 2 and never
+    # re-tokenizes
+    def write_tag_fieldpostings() -> None:
+        fp_path = os.path.join(index_dir, "fieldpostings")
+        t0 = time.time()
+        post = spark.read.parquet(postings_path)
+        ext = spark.read.parquet(os.path.join(index_dir, "extents"))
+        pos = post.select(
+            "term", "doc", F.explode("positions").alias("pos")
+        )
+        part = (
+            pos.join(ext, "doc")
+            .filter(
+                (F.col("pos") >= F.col("begin"))
+                & (F.col("pos") + 1 <= F.col("end"))
+            )
+            .groupBy("field", "term", "doc")
+            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+            .withColumn("tf", F.size("positions").cast("long"))
+        )
+        (
+            part.repartitionByRange(num_term_partitions, "field", "term", "doc")
+            .sortWithinPartitions("field", "term", "doc")
+            .write.mode("overwrite")
+            .parquet(fp_path)
+        )
+        record("fieldpostings", fp_path, t0)
+
     # lengths part (DiskLengthsWriter analog): derived from postings —
     # length(doc) = sum of its tfs; zero-length docs filled from names.
     def write_lengths() -> None:
@@ -421,6 +497,9 @@ def build_index(
     if field_formats:
         with MANIFEST_LOCK:
             manifest["params"]["field_formats"] = dict(field_formats)
+    if tag_fields:
+        with MANIFEST_LOCK:
+            manifest["params"]["tag_fields"] = list(tag_fields)
 
     # Two dependency waves, each wave's independent parts written on
     # concurrent driver threads (Spark schedules their jobs side by side,
@@ -434,6 +513,8 @@ def build_index(
     if fields:
         wave1.append(("extents", write_extents))
         wave1.append(("fieldpostings", write_fieldpostings))
+    if tag_fields:
+        wave1.append(("extents", write_tag_extents))
     if field_formats:
         wave1.append(("fields", write_fields))
     # packed vbyte block layer, fused into wave 2: its lengths/avgdl
@@ -515,6 +596,8 @@ def build_index(
     wave2 = [("lengths", write_lengths), ("termstats", write_termstats)]
     if stemmer:
         wave2.append((f"postings.{stemmer}", write_stemmed))
+    if tag_fields and positions:
+        wave2.append(("fieldpostings", write_tag_fieldpostings))
     if packed:
         wave2.append(("blocks", write_blocks))
     for wave in (wave1, wave2):
@@ -528,6 +611,28 @@ def build_index(
                     f.result()
     if not done("stats"):
         write_stats()
+
+    # packed layer for the stemmed part: the DEFAULT text part once a
+    # stemmer is built (DiskIndex.java:200-222), so the WAND tier must
+    # serve it too — packed after stats (reads lengths + stats parts)
+    if packed and stemmer and not done(f"blocks.{stemmer}"):
+        from galago_git_spark.index.packed import (
+            DEFAULT_BLOCK_SIZE,
+            DEFAULT_BUCKET_BITS,
+            build_packed,
+        )
+
+        build_packed(
+            spark,
+            index_dir,
+            block_size=block_size or DEFAULT_BLOCK_SIZE,
+            bucket_bits=bucket_bits or DEFAULT_BUCKET_BITS,
+            num_partitions=num_term_partitions,
+            postings=spark.read.parquet(
+                os.path.join(index_dir, f"postings.{stemmer}")
+            ),
+            out=f"blocks.{stemmer}",
+        )
 
     # the packed thread merges its entry straight into the on-disk
     # manifest; return the authoritative state
@@ -565,6 +670,14 @@ class Index:
     # the transform already applied to THIS view's postings/termstats
     # (None = raw part) — routing guards on it to never double-stem
     stemmer_name: str | None = None
+    # working-set retrieval (WorkingSetDocumentModel.java): when set,
+    # EVERY doc in this frame is a scoring candidate (absent terms score
+    # background mass) and the count-plane scans are In-pruned to it
+    working_docs: DataFrame | None = None
+    # stats redirection for restricted views: term/window statistics must
+    # come from the FULL index (AnnotateCollectionStatistics reads global
+    # stats regardless of the working set)
+    stats_base: "Index | None" = None
 
     _termstats_cache: dict | None = None
     _node_stats_cache: dict | None = None  # str(node) -> TermStats

@@ -173,33 +173,44 @@ def build_packed(
     resume: bool = False,
     lengths: DataFrame | None = None,
     avgdl: float | None = None,
+    postings: DataFrame | None = None,
+    out: str = "blocks",
 ) -> dict:
-    """Build the ``blocks`` part from the relational postings part.
+    """Build a block layer from a relational postings table.
 
-    Returns the block-layer params (also recorded in manifest.json so the
-    query side picks up the same bucket geometry). With ``resume=True`` a
-    manifest-committed blocks part with a _SUCCESS marker is reused.
+    Default: the main ``postings`` part into ``blocks``. ``postings`` +
+    ``out`` pack any other (term, doc, tf[, positions]) part into its own
+    block layer — e.g. a window n-gram part into
+    ``window.od1.2/blocks`` (see :func:`pack_window_parts`), which is what
+    makes window leaves first-class WAND posting streams.
+
+    Returns the block-layer params (also recorded in manifest.json under
+    the ``out`` key so the query side picks up the same bucket geometry).
+    With ``resume=True`` a manifest-committed blocks part with a _SUCCESS
+    marker is reused.
 
     ``lengths``/``avgdl`` may be supplied by the caller (build_index's
     fused wave passes a postings-derived lengths frame) so the pack job
     does not have to wait for the lengths/stats parts — blocks then build
     CONCURRENTLY with them.
     """
+    manifest_key = out
     manifest_path_early = os.path.join(index_dir, "manifest.json")
     if resume and os.path.exists(manifest_path_early):
         with open(manifest_path_early) as f:
             m = json.load(f)
-        if "blocks" in m.get("parts", {}) and os.path.exists(
-            os.path.join(index_dir, "blocks", "_SUCCESS")
+        if manifest_key in m.get("parts", {}) and os.path.exists(
+            os.path.join(index_dir, out, "_SUCCESS")
         ):
-            return m["parts"]["blocks"]["params"]
+            return m["parts"][manifest_key]["params"]
     t0 = time.time()
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    postings_raw = spark.read.parquet(os.path.join(index_dir, "postings"))
-    has_positions = "positions" in postings_raw.columns
+    if postings is None:
+        postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    has_positions = "positions" in postings.columns
     cols = ["term", "doc", "tf"] + (["positions"] if has_positions else [])
-    postings = postings_raw.select(*cols)
+    postings = postings.select(*cols)
     if lengths is None:
         lengths = spark.read.parquet(os.path.join(index_dir, "lengths"))
     if avgdl is None:
@@ -227,7 +238,7 @@ def build_packed(
         .sortWithinPartitions("term", "bucket", "doc")
         .mapInPandas(_pack_stream(block_size), schema=BLOCKS_SCHEMA)
     )
-    blocks_path = os.path.join(index_dir, "blocks")
+    blocks_path = os.path.join(index_dir, out)
     blocks.write.mode("overwrite").parquet(blocks_path)
 
     params = {
@@ -252,17 +263,53 @@ def build_packed(
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 manifest = json.load(f)
-        manifest["parts"]["blocks"] = entry
+        manifest["parts"][manifest_key] = entry
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)
     return params
 
 
-def packed_params(index_dir: str) -> dict:
+def packed_params(index_dir: str, part: str = "blocks") -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    return manifest["parts"]["blocks"]["params"]
+    return manifest["parts"][part]["params"]
 
 
-def read_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "blocks"))
+def read_blocks(spark: SparkSession, index_dir: str, part: str = "blocks") -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, part))
+
+
+def pack_window_parts(
+    spark: SparkSession,
+    index_dir: str,
+    num_partitions: int | None = None,
+    resume: bool = False,
+) -> list[str]:
+    """Pack every on-disk window part (``window.od1.N``,
+    ``window.uw.nN.wW`` — index/window.py) into its own block layer
+    ``<part>/blocks``, REUSING the main layer's bucket geometry so window
+    blocks cogroup with unigram blocks and doc lengths inside one WAND
+    kernel (query/wand.wand_sdm_parts_topk). Positions are not packed —
+    window parts are count streams; their block ``max_tf`` is an exact
+    per-segment window-count bound, which is what restores sound AND
+    selective #sdm pruning. Returns the packed part names."""
+    main = packed_params(index_dir)
+    packed = []
+    for name in sorted(os.listdir(index_dir)):
+        if not (name.startswith("window.od1.") or name.startswith("window.uw.")):
+            continue
+        post_dir = os.path.join(index_dir, name, "postings")
+        if not os.path.exists(post_dir):
+            continue
+        build_packed(
+            spark,
+            index_dir,
+            block_size=int(main["block_size"]),
+            bucket_bits=int(main["bucket_bits"]),
+            num_partitions=num_partitions,
+            resume=resume,
+            postings=spark.read.parquet(post_dir),
+            out=f"{name}/blocks",
+        )
+        packed.append(name)
+    return packed

@@ -49,6 +49,20 @@ def doc_id(index, identifier: str) -> int | None:
     return int(rows[0]["doc"]) if rows else None
 
 
+def doc_id_for_names(index, identifiers: list[str]) -> list[int]:
+    """Batch external-name -> doc-id resolution
+    (``LocalRetrieval.getDocumentIds``, used by the working-set model).
+    Missing names are dropped — WorkingSetDocumentModel.java:56-62 logs
+    and IGNOREs ids < 0. One pruned names scan for the whole batch."""
+    rows = (
+        index.names.withColumn("name", name_expr())
+        .filter(F.col("name").isin(list(identifiers)))
+        .select("doc")
+        .collect()
+    )
+    return [int(r["doc"]) for r in rows]
+
+
 def fetch_document(
     index,
     corpus: DataFrame,

@@ -74,15 +74,25 @@ _SCORE_SUBTREES = ("wsum", "scale", "log", "bm25fcomb", "combine", "boost", "log
 def inline_index(
     docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text",
     fields: bool = False, field_formats: dict[str, str] | None = None,
-    stemmer: str | None = None,
+    stemmer: str | None = None, tag_fields: list[str] | None = None,
 ) -> Index:
     """Build an in-memory (lazy, no disk) index view over any table with a
     document id and a text column — used for oracle-checked queries over
     the driver's ``documents`` table and for tests. Same plan shapes as
-    the on-disk index, minus persistence."""
+    the on-disk index, minus persistence. ``tag_fields`` switches to the
+    tag-aware token stream with whitelisted SGML tag spans as extents
+    (functions/tagtok.py, TagTokenizer semantics)."""
+    if tag_fields and fields:
+        raise ValueError("tag_fields and fields=True are mutually exclusive")
+    if tag_fields:
+        from galago_git_spark.functions.tagtok import tagged_tokens_col
+
+        terms_col = tagged_tokens_col(F.col(text_col), tuple(tag_fields))
+    else:
+        terms_col = tokenize_pandas(F.col(text_col))
     base = docs.select(
         F.col(doc_col).cast("long").alias("doc"),
-        tokenize_pandas(F.col(text_col)).alias("terms"),
+        terms_col.alias("terms"),
     )
     extents = None
     if fields:
@@ -91,6 +101,15 @@ def inline_index(
         extents = docs.select(
             F.col(doc_col).cast("long").alias("doc"),
             F.explode(field_extents_col(F.col(text_col))).alias("ext"),
+        ).select("doc", "ext.field", "ext.begin", "ext.end")
+    elif tag_fields:
+        from galago_git_spark.functions.tagtok import tagged_extents_col
+
+        extents = docs.select(
+            F.col(doc_col).cast("long").alias("doc"),
+            F.explode(
+                tagged_extents_col(F.col(text_col), tuple(tag_fields))
+            ).alias("ext"),
         ).select("doc", "ext.field", "ext.begin", "ext.end")
     tokens = base.select(
         "doc", F.posexplode("terms").alias("pos0", "term")
@@ -202,6 +221,55 @@ def _resolve_text_part(index: Index, part: str | None):
     from galago_git_spark.functions.stem import get_stemmer
 
     return index.stemmed_view(name), get_stemmer(name)
+
+
+def working_set_view(index: Index, working: list) -> Index:
+    """WorkingSetDocumentModel.java:33-75 — restrict retrieval to an
+    explicit document whitelist (the standard rerank primitive):
+
+    - every whitelisted doc becomes a scoring CANDIDATE (absent query
+      terms score their background mass, exactly like the reference's
+      per-doc ``iterator.score``, not just matching docs);
+    - every count-plane scan (postings / extents / field postings /
+      window parts) gets an ``In(doc, working)`` filter — pushed into the
+      parquet scan, so a 1000-doc rerank reads 1000 docs' postings;
+    - statistics stay GLOBAL via ``stats_base`` (the reference annotates
+      collection statistics before the working set applies);
+    - ids may be ints (doc ids) or strings (doc names, resolved through
+      the names part — ``LocalRetrieval.getDocumentIds``; missing names
+      are dropped with the reference's IGNORING semantics).
+    """
+    import dataclasses
+
+    if not working:
+        raise ValueError("working set may not be empty")
+    if isinstance(working[0], str):
+        from galago_git_spark.operators.docs import doc_id_for_names
+
+        ids = doc_id_for_names(index, list(working))
+    else:
+        ids = [int(d) for d in working]
+    ids = sorted(set(ids))
+    in_ws = F.col("doc").isin(ids)
+    spark = index.spark
+    ws = spark.createDataFrame([(d,) for d in ids], "doc long")
+    return dataclasses.replace(
+        index,
+        postings=index.postings.filter(in_ws),
+        lengths=index.lengths.filter(in_ws),
+        extents=(index.extents.filter(in_ws)
+                 if index.extents is not None else None),
+        field_postings=(index.field_postings.filter(in_ws)
+                        if index.field_postings is not None else None),
+        window_parts=(
+            {k: v.filter(in_ws) for k, v in index.window_parts.items()}
+            if index.window_parts else None
+        ),
+        working_docs=ws,
+        stats_base=index.stats_base or index,
+        _termstats_cache=None,
+        _node_stats_cache=None,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -527,7 +595,11 @@ def node_stats(node: Node, index: Index) -> TermStats:
     node -> aggregate its virtual postings (NodeAggregateIterator).
     Complex-node results memoize on the Index handle; batch several nodes
     into ONE job with :func:`prefetch_node_stats`."""
-    if node.operator in ("counts", "extents", "text"):
+    if index.stats_base is not None:
+        # restricted view (working set): statistics come from the FULL
+        # index — AnnotateCollectionStatistics reads global stats no
+        # matter what doc set is being scored
+        index = index.stats_base
         term = str(node.default_param)
         found = index.term_stats([term])
         return found.get(term, TermStats(term, 0, 0, 0))
@@ -571,6 +643,8 @@ def prefetch_node_stats(scorers: list[Node], index: Index) -> None:
     per query (one termstats scan for all leaves + one unioned aggregate
     for all complex nodes) instead of one job per node — an #sdm over n
     terms previously fired ~2(n-1) extra stats jobs (VERDICT r1 item 4)."""
+    if index.stats_base is not None:
+        index = index.stats_base  # global stats for restricted views
     leaves: list[str] = []
     complex_nodes: dict[str, Node] = {}
     if index._node_stats_cache is None:
@@ -770,6 +844,7 @@ def score_frame(
     default_scorer: str = "dirichlet",
     op_repls: dict | None = None,
     part: str | None = None,
+    working: list | None = None,
 ) -> DataFrame:
     """Full scored candidate set ``(doc, score)`` — unranked, unlimited.
     The building block for execute() and for oracle-checked wrappers that
@@ -777,11 +852,15 @@ def score_frame(
     aliasing map (ReplaceOperatorTraversal's ``opRepls`` parameter).
     ``part`` picks the text part (``"postings"`` forces the raw part;
     default = the index's DiskIndex-style default, i.e. the stemmed part
-    when one was built); query terms are transformed to match."""
+    when one was built); query terms are transformed to match.
+    ``working``: doc ids or names — score exactly that set
+    (WorkingSetDocumentModel, see :func:`working_set_view`)."""
     node = parse(query) if isinstance(query, str) else query
     index, _stem_fn = _resolve_text_part(index, part)
     if _stem_fn is not None:
         node = stem_leaves(node, _stem_fn)
+    if working is not None and index.working_docs is None:
+        index = working_set_view(index, working)
     if op_repls:
         # ReplaceOperatorTraversal runs FIRST in the reference pipeline —
         # before RelevanceModelTraversal — so user aliasing must apply
@@ -837,6 +916,7 @@ def execute(
     with_names: bool = False,
     op_repls: dict | None = None,
     part: str | None = None,
+    working: list | None = None,
 ) -> DataFrame:
     """Parse (if needed), transform, compile, and run a ranked query.
 
@@ -847,7 +927,7 @@ def execute(
     pipeline — ReplaceOperatorTraversal's ``opRepls`` parameter.
     """
     scored = score_frame(query, index, default_scorer, op_repls=op_repls,
-                         part=part)
+                         part=part, working=working)
     out = (
         scored.orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(k)
@@ -875,7 +955,10 @@ def _execute_combine(node: Node, index: Index, default_scorer: str) -> DataFrame
         else Node(default_scorer, {}, [c])
         for c in children
     ]
-    if _flat_eligible(children):
+    if _flat_eligible(children) and index.working_docs is None:
+        # flat path scores MATCHING docs only — a working set needs every
+        # whitelisted doc scored, which is the general path's left-join
+        # shape with the candidate override below
         return _combine_flat(children, weights, index)
     return _combine_general(children, weights, index)
 
@@ -1043,18 +1126,25 @@ def _combine_general(
     scorers: list[Node], weights: list[float], index: Index
 ) -> DataFrame:
     prefetch_node_stats(scorers, index)
-    cand_frames = [
-        f for s in scorers for f in [_candidate_docs(s, index)] if f is not None
-    ]
-    if cand_frames:
-        candidates = (
-            reduce(DataFrame.unionByName, cand_frames)
-            .distinct()
-            .join(index.lengths, "doc", "inner")
-        )
+    if index.working_docs is not None:
+        # WorkingSetDocumentModel: the whitelist IS the candidate set —
+        # every listed doc scores (absent terms -> background mass);
+        # ids without a lengths row (nonexistent docs) drop out here
+        candidates = index.working_docs.join(index.lengths, "doc", "inner")
     else:
-        # pure-prior query: every document is a candidate
-        candidates = index.lengths
+        cand_frames = [
+            f for s in scorers for f in [_candidate_docs(s, index)]
+            if f is not None
+        ]
+        if cand_frames:
+            candidates = (
+                reduce(DataFrame.unionByName, cand_frames)
+                .distinct()
+                .join(index.lengths, "doc", "inner")
+            )
+        else:
+            # pure-prior query: every document is a candidate
+            candidates = index.lengths
     cur = candidates
     fstats_cache: dict[str, CollectionStats] = {}
     exprs = []
@@ -1180,6 +1270,11 @@ def _wsum_column(
 def _execute_wsum(node: Node, index: Index) -> DataFrame:
     """Top-level #wsum query."""
     prefetch_node_stats([node], index)
+    if index.working_docs is not None:
+        # working-set model: the whitelist is the candidate set
+        candidates = index.working_docs.join(index.lengths, "doc", "inner")
+        cur, col = _wsum_column(node, "w", candidates, index, {})
+        return cur.select("doc", col.alias("score"))
     cand = _candidate_docs(node, index)
     if cand is None:
         raise ValueError("#wsum needs at least one count-backed child")

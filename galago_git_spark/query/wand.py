@@ -196,17 +196,41 @@ class PackedReader:
     DEFAULT_MAX_DRIVER_VOCAB = 500_000
 
     def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True,
-                 max_driver_vocab: int | None = None):
+                 max_driver_vocab: int | None = None,
+                 text_part: str | None = None):
+        """``text_part`` picks the packed tier: ``"postings"`` (raw,
+        the default), ``"postings.<stemmer>"`` (its ``blocks.<stemmer>``
+        layer — built by ``build_index(packed=True, stemmer=...)``), or
+        None = the index's DiskIndex-style default part WHEN its block
+        layer exists, else raw. A stemmed reader's ``stemmer_name`` tells
+        callers to ``stem_as_required`` query terms before the kernels."""
+        import os
+
         self.spark = spark
         self.index_dir = index_dir
-        self.params = packed_params(index_dir)
         self.index = open_index(spark, index_dir)
+        if text_part is None:
+            text_part = self.index.default_text_part
+            if text_part != "postings":
+                name = text_part.split(".", 1)[1]
+                if not os.path.exists(
+                    os.path.join(index_dir, f"blocks.{name}", "_SUCCESS")
+                ):
+                    text_part = "postings"  # stemmed tier not packed
+        self.text_part = text_part
+        self.stemmer_name: str | None = None
+        blocks_key = "blocks"
+        if text_part != "postings":
+            self.stemmer_name = text_part.split(".", 1)[1]
+            blocks_key = f"blocks.{self.stemmer_name}"
+            self.index = self.index.stemmed_view(self.stemmer_name)
+        self.params = packed_params(index_dir, blocks_key)
         self.max_driver_vocab = (
             self.DEFAULT_MAX_DRIVER_VOCAB
             if max_driver_vocab is None
             else max_driver_vocab
         )
-        self.blocks = read_blocks(spark, index_dir)
+        self.blocks = read_blocks(spark, index_dir, blocks_key)
         self.lengths_bucketed = self.index.lengths.withColumn(
             "bucket",
             F.shiftright(F.col("doc"), int(self.params["bucket_bits"])).cast("long"),
@@ -215,6 +239,8 @@ class PackedReader:
             self.lengths_bucketed = self.lengths_bucketed.persist()
         self._cache = cache
         self._ts_map: dict | None = None
+        self._part_blocks: dict[str, DataFrame] = {}
+        self._part_cfs: dict[str, dict | None] = {}
 
     def term_stats(self, terms: list[str]) -> dict:
         """Driver-cached stats lookup. The whole termstats table is pulled
@@ -236,6 +262,50 @@ class PackedReader:
         if self._ts_map:
             return {t: self._ts_map[t] for t in terms if t in self._ts_map}
         return self.index.term_stats(terms)
+
+    def part_blocks(self, part: str) -> DataFrame:
+        """Cached handle on a window part's block layer (avoids repeated
+        parquet footer reads across a query session)."""
+        if part not in self._part_blocks:
+            self._part_blocks[part] = read_blocks(
+                self.spark, self.index_dir, f"{part}/blocks"
+            )
+        return self._part_blocks[part]
+
+    def part_cfs(self, part: str, keys: list[str]) -> dict[str, int]:
+        """Window-key cf lookups from a part's termstats, driver-cached
+        like :meth:`term_stats`: the whole map when the part vocabulary is
+        small, else per-query pruned scans (the cluster-scale path)."""
+        import os
+
+        if not keys:
+            return {}
+        ts_path = os.path.join(self.index_dir, part, "termstats")
+        if not self._cache:
+            rows = (
+                self.spark.read.parquet(ts_path)
+                .filter(F.col("term").isin(list(keys)))
+                .select("term", "cf").collect()
+            )
+            return {r["term"]: r["cf"] for r in rows}
+        if part not in self._part_cfs:
+            ts = self.spark.read.parquet(ts_path)
+            if ts.count() <= self.max_driver_vocab:
+                self._part_cfs[part] = {
+                    r["term"]: r["cf"]
+                    for r in ts.select("term", "cf").collect()
+                }
+            else:
+                self._part_cfs[part] = None  # sentinel: pruned lookups
+        cached = self._part_cfs[part]
+        if cached is not None:
+            return {t: cached[t] for t in keys if t in cached}
+        rows = (
+            self.spark.read.parquet(ts_path)
+            .filter(F.col("term").isin(list(keys)))
+            .select("term", "cf").collect()
+        )
+        return {r["term"]: r["cf"] for r in rows}
 
 
 def wand_topk(
@@ -304,6 +374,259 @@ def wand_topk(
         candidates.orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
+    )
+
+
+# ---------------------------------------------------------------------------
+# flat Dirichlet WAND over arbitrary posting leaves — the part-backed #sdm
+# tier: window parts (index/window.py) packed into their own block layers
+# (index/packed.pack_window_parts) turn od/uw children into plain posting
+# streams whose block max_tf is an EXACT window-count bound — sound AND
+# selective, unlike the positional kernel's loose sum/maxtf bounds
+# ---------------------------------------------------------------------------
+
+
+def _flat_dirichlet_kernel(leaf_info: dict[str, tuple[float, float]],
+                           mu: float, k: int):
+    """Per-bucket exact-Dirichlet kernel over independent posting leaves.
+
+    ``leaf_info``: leaf key (the ``term`` column of the unioned blocks) ->
+    (weight, background cf/CL). Segment upper bound: sum_l w_l *
+    ln(seg_maxtf_l + mu*bg_l) - W*ln(min_len + mu) — every factor exact
+    per block, so pruning fires as hard as the data allows."""
+    leaves = list(leaf_info)
+    l_index = {t: i for i, t in enumerate(leaves)}
+    n_leaves = len(leaves)
+    ws = np.array([leaf_info[t][0] for t in leaves], dtype=np.float64)
+    bgs = np.array([leaf_info[t][1] for t in leaves], dtype=np.float64)
+    W = float(ws.sum())
+
+    def kernel(blocks: pd.DataFrame, lengths: pd.DataFrame) -> pd.DataFrame:
+        if blocks.empty or lengths.empty:
+            return pd.DataFrame({"doc": [], "score": []}).astype(
+                {"doc": "int64", "score": "float64"}
+            )
+        len_docs = lengths["doc"].to_numpy(dtype=np.int64)
+        len_vals = lengths["length"].to_numpy(dtype=np.float64)
+        order = np.argsort(len_docs)
+        len_docs, len_vals = len_docs[order], len_vals[order]
+        min_len = float(len_vals.min())
+
+        first = blocks["first_doc"].to_numpy(dtype=np.int64)
+        last = blocks["last_doc"].to_numpy(dtype=np.int64)
+        bleaf = np.array([l_index[t] for t in blocks["term"]], dtype=np.int64)
+        bmax = blocks["max_tf"].to_numpy(dtype=np.int64)
+
+        edges = np.unique(np.concatenate([first, last + 1]))
+        n_seg = len(edges) - 1
+        lo_idx = np.searchsorted(edges, first, side="right") - 1
+        hi_idx = np.searchsorted(edges, last, side="right") - 1
+
+        seg_maxtf = np.zeros((n_leaves, n_seg), dtype=np.float64)
+        for bi in range(len(first)):
+            li = bleaf[bi]
+            lo, hi = lo_idx[bi], hi_idx[bi]
+            seg_maxtf[li, lo:hi + 1] = np.maximum(
+                seg_maxtf[li, lo:hi + 1], bmax[bi]
+            )
+        seg_ub = np.full(n_seg, -W * math.log(min_len + mu), dtype=np.float64)
+        for li in range(n_leaves):
+            seg_ub += ws[li] * np.log(seg_maxtf[li] + mu * bgs[li])
+
+        seg_order = np.argsort(-seg_ub, kind="stable")
+        block_order = np.argsort(lo_idx, kind="stable")
+
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        threshold = -math.inf
+
+        for s in seg_order:
+            if len(top_docs) >= k and seg_ub[s] < threshold:
+                break
+            seg_lo, seg_hi = int(edges[s]), int(edges[s + 1]) - 1
+            active = block_order[
+                (lo_idx[block_order] <= s) & (hi_idx[block_order] >= s)
+            ]
+            leaf_docs: list = [None] * n_leaves
+            leaf_tfs: list = [None] * n_leaves
+            for bi in active:
+                bi = int(bi)
+                if bi not in decoded:
+                    decoded[bi] = (
+                        decode_doc_block(blocks["docs"].iloc[bi]).astype(np.int64),
+                        vbyte_decode(blocks["tfs"].iloc[bi]).astype(np.float64),
+                    )
+                d, t = decoded[bi]
+                a = np.searchsorted(d, seg_lo, side="left")
+                z = np.searchsorted(d, seg_hi, side="right")
+                if a == z:
+                    continue
+                li = int(bleaf[bi])
+                if leaf_docs[li] is None:
+                    leaf_docs[li] = d[a:z]
+                    leaf_tfs[li] = t[a:z]
+                else:
+                    leaf_docs[li] = np.concatenate([leaf_docs[li], d[a:z]])
+                    leaf_tfs[li] = np.concatenate([leaf_tfs[li], t[a:z]])
+            present = [i for i in range(n_leaves) if leaf_docs[i] is not None]
+            if not present:
+                continue
+            cand = np.unique(np.concatenate([leaf_docs[i] for i in present]))
+            ln = len_vals[np.searchsorted(len_docs, cand)]
+            scores = -W * np.log(ln + mu)
+            for li in range(n_leaves):
+                tf = np.zeros(len(cand), dtype=np.float64)
+                if leaf_docs[li] is not None:
+                    tf[np.searchsorted(cand, leaf_docs[li])] = leaf_tfs[li]
+                scores += ws[li] * np.log(tf + mu * bgs[li])
+            top_docs = np.concatenate([top_docs, cand])
+            top_scores = np.concatenate([top_scores, scores])
+            sel = np.lexsort((top_docs, -top_scores))[:k]
+            top_docs, top_scores = top_docs[sel], top_scores[sel]
+            if len(top_docs) >= k:
+                threshold = top_scores[-1]
+
+        return pd.DataFrame({"doc": top_docs, "score": top_scores})
+
+    return kernel
+
+
+def wand_sdm_parts_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    mu: float = 1500.0,
+    uniw: float = 0.8,
+    odw: float = 0.15,
+    uww: float = 0.05,
+    od_width: int = 1,
+    uw_width: int = 8,
+    reader: PackedReader | None = None,
+    overfetch: int = 50,
+) -> DataFrame:
+    """#sdm top-k with window children served from PACKED WINDOW PARTS:
+    each od:1 / uw:w pair is a posting leaf in its part's block layer
+    (``index/packed.pack_window_parts``), so the whole query is a flat
+    Dirichlet WAND over 3n-2 posting streams — no position decode, and
+    every block bound is an exact max window count. Result-identical to
+    ``execute("#sdm(...)")`` and to ``wand_sdm_topk`` (tested; same
+    rounded-score ranking convention). Raises ValueError when the window
+    block layers are absent or the widths don't match a built part —
+    callers fall back to the positional kernel."""
+    if reader is None:
+        reader = PackedReader(spark, index_dir, cache=False,
+                              text_part="postings")
+    if reader.stemmer_name is not None:
+        raise ValueError(
+            "part-backed #sdm serves the RAW vocabulary (window parts "
+            "key raw tokens); use the positional kernel on a stemmed tier"
+        )
+    idx = reader.index
+    cs = idx.collection_stats
+    if od_width != 1:
+        raise ValueError("part-backed #sdm needs od_width == 1 "
+                         "(the contiguous shingle part)")
+    if any(a == b for a, b in zip(terms, terms[1:])):
+        # the uw pair part only keys DISTINCT term pairs (same rule as
+        # _window_part_rewrite); #sdm(t t) stays on the positional kernel
+        raise ValueError(
+            "part-backed #sdm needs distinct adjacent terms "
+            "(unordered pair parts key distinct pairs)"
+        )
+    od_part = "window.od1.2"
+    uw_part = f"window.uw.n2.w{uw_width}"
+    import os
+
+    for p in (od_part, uw_part):
+        if not os.path.exists(os.path.join(index_dir, p, "blocks", "_SUCCESS")):
+            raise ValueError(
+                f"part-backed #sdm needs a packed window part at {p}/blocks "
+                "(build_window_postings/build_unordered_window_postings + "
+                "pack_window_parts)"
+            )
+        pp = packed_params(index_dir, f"{p}/blocks")
+        if int(pp["bucket_bits"]) != int(reader.params["bucket_bits"]):
+            raise ValueError(
+                f"{p}/blocks bucket_bits {pp['bucket_bits']} != main "
+                f"{reader.params['bucket_bits']} — repack with matching "
+                "geometry"
+            )
+
+    plan = _sdm_scorer_plan(terms, uniw, odw, uww)
+    uni_keys: dict[int, str] = {}
+    od_keys: dict[tuple[int, int], str] = {}
+    uw_keys: dict[tuple[int, int], str] = {}
+    for w, kind, i, j in plan:
+        if kind == "uni":
+            uni_keys[i] = terms[i]
+        elif kind == "od":
+            od_keys[(i, j)] = f"{terms[i]}~{terms[j]}"
+        else:
+            a, b2 = sorted((terms[i], terms[j]))
+            uw_keys[(i, j)] = f"{a}~{b2}"
+
+    # leaf stats: unigram cf from termstats; window cf from the parts'
+    # own termstats (driver-cached like term_stats, pruned scans above
+    # the vocab cap)
+    stats = reader.term_stats(list(set(terms)))
+    od_cfs = reader.part_cfs(od_part, list(set(od_keys.values())))
+    uw_cfs = reader.part_cfs(uw_part, list(set(uw_keys.values())))
+
+    # merge duplicate leaves' weights (a repeated query term is several
+    # plan entries over the same posting stream — weights sum exactly)
+    leaf_info: dict[str, tuple[float, float]] = {}
+
+    def add_leaf(key: str, w: float, cf: int) -> None:
+        bg = (cf if cf > 0 else 0.5) / cs.collection_length
+        if key in leaf_info:
+            leaf_info[key] = (leaf_info[key][0] + w, bg)
+        else:
+            leaf_info[key] = (w, bg)
+
+    for w, kind, i, j in plan:
+        if kind == "uni":
+            ts = stats.get(terms[i])
+            add_leaf("u:" + uni_keys[i], w, ts.cf if ts else 0)
+        elif kind == "od":
+            key = od_keys[(i, j)]
+            add_leaf("o:" + key, w, od_cfs.get(key, 0))
+        else:
+            key = uw_keys[(i, j)]
+            add_leaf("w:" + key, w, uw_cfs.get(key, 0))
+
+    cols = ["term", "bucket", "first_doc", "last_doc", "max_tf", "docs", "tfs"]
+
+    def scan(part: str | None, prefix: str, keys: list[str]) -> DataFrame:
+        raw = reader.blocks if part is None else reader.part_blocks(part)
+        return (
+            raw.filter(F.col("term").isin(list(set(keys))))
+            .select(*cols)
+            .withColumn("term", F.concat(F.lit(prefix), F.col("term")))
+        )
+
+    blocks = (
+        scan(None, "u:", list(uni_keys.values()))
+        .unionByName(scan(od_part, "o:", list(od_keys.values())))
+        .unionByName(scan(uw_part, "w:", list(uw_keys.values())))
+    )
+    buckets = blocks.select("bucket").distinct()
+    lengths = reader.lengths_bucketed.join(
+        F.broadcast(buckets), "bucket", "left_semi"
+    )
+    kernel = _flat_dirichlet_kernel(leaf_info, mu, k + overfetch)
+    candidates = (
+        blocks.groupBy("bucket")
+        .cogroup(lengths.groupBy("bucket"))
+        .applyInPandas(kernel, schema=_OUT_SCHEMA)
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        candidates.withColumn("score", F.round(F.col("score"), 6))
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w_rank))
     )
 
 

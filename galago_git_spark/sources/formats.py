@@ -290,22 +290,28 @@ def parse_wiki(data: bytes, file: str) -> Iterator[tuple]:
             page.append(line)
             block = "\n".join(page) + "\n"
             page = None
-            tags = {}
-            for t, rx in _WIKI_TAG.items():
-                m = rx.search(block)
-                tags[t] = m.group(1) if m else ""
-            title = tags["title"]
-            if ":" in title and not title.startswith(_WIKI_PREFIX_WHITELIST):
+            # per-page resilience (WikiParser.processPage catches and
+            # skips only the broken page, not the file): a malformed
+            # <id> etc. must never abort the shard
+            try:
+                tags = {}
+                for t, rx in _WIKI_TAG.items():
+                    m = rx.search(block)
+                    tags[t] = m.group(1) if m else ""
+                title = tags["title"]
+                if ":" in title and not title.startswith(_WIKI_PREFIX_WHITELIST):
+                    continue
+                if not tags["id"]:
+                    continue
+                text = (
+                    f"<title>{title}</title>\n"
+                    f"<timestamp>{tags['timestamp']}</timestamp>\n"
+                    + tags["text"]
+                ).lower()
+                url = f"http://en.wikipedia.org/wiki/{title}"
+                yield f"w{int(tags['id'])}", url, text, file
+            except Exception:
                 continue
-            if not tags["id"]:
-                continue
-            text = (
-                f"<title>{title}</title>\n"
-                f"<timestamp>{tags['timestamp']}</timestamp>\n"
-                + tags["text"]
-            ).lower()
-            url = f"http://en.wikipedia.org/wiki/{title}"
-            yield f"w{int(tags['id'])}", url, text, file
         elif page is not None:
             page.append(line)
 
@@ -323,7 +329,12 @@ def _parse_wholefile(identifier_mode: str):
         name = file
         if identifier_mode == "stripped":
             name = os.path.basename(_strip_known_extensions(file))
-        yield name, None, data.decode("utf-8", errors="replace"), file
+        # FileParser.nextDocument reads line-by-line and appends '\n' per
+        # line: CRLF normalizes to LF and the text always ends with a
+        # newline (empty file -> empty text) — raw bytes diverge on both
+        lines = _lines(data)
+        text = "\n".join(lines) + "\n" if lines else ""
+        yield name, None, text, file
 
     return parse
 

@@ -229,3 +229,28 @@ def test_pair_cosine_jvm_escape_hatch_matches_arrow(emb):
     assert a.keys() == j.keys() and a
     for k in a:
         assert abs(a[k] - j[k]) < 1e-9
+
+
+def test_near_dup_groups_and_filter(spark):
+    """Connected components over pairs: chain a-b-c collapses to one
+    group keyed by the min id; singletons in no pair pass dedup_filter
+    untouched; convergence beyond one hop (the chain needs 2 rounds)."""
+    from galago_git_spark.operators.dedup import dedup_filter, near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 40)],
+        ["doc_a", "doc_b"],
+    )
+    rows = {r["doc"]: (r["group"], r["keep"])
+            for r in near_dup_groups(pairs).collect()}
+    assert rows == {
+        3: (3, True), 5: (3, False), 9: (3, False),
+        20: (20, True), 21: (20, False),
+        40: (40, True), 41: (40, False),
+    }
+    docs = spark.createDataFrame(
+        [(d, f"t{d}") for d in (1, 3, 5, 9, 20, 21, 40, 41, 99)],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in dedup_filter(docs, pairs).collect()}
+    assert kept == {1, 3, 20, 40, 99}

@@ -129,3 +129,49 @@ def test_inline_matches_ondisk(spark, tmp_path):
         .selectExpr("term", "cf as tf").collect()
     )
     assert a == b
+
+
+def test_stemmed_packed_wand_rank_identity(spark, tmp_path):
+    """build(packed=True, stemmer=...) writes blocks.<stemmer>;
+    PackedReader auto-routes to the stemmed tier (text_part resolution)
+    and wand_topk over stemAsRequired'd terms is rank-identical to the
+    exhaustive stemmed-default path."""
+    import os
+
+    from galago_git_spark.functions.stem import porter2, stem_as_required
+    from galago_git_spark.query.wand import PackedReader, wand_topk
+
+    rows = [
+        ("r", f"d{i}.py", f"c{i}", "py",
+         f"running tables merge queries {'fast ' * (i % 4)} value {i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path / "idx")
+    build_index(docs, d, positions=True, packed=True, stemmer="porter2",
+                block_size=16, bucket_bits=4)
+    assert os.path.exists(os.path.join(d, "blocks.porter2", "_SUCCESS"))
+    idx = open_index(spark, d)
+    ex = execute("#combine:scorer=bm25(tables queries fast)", idx, k=8,
+                 default_scorer="bm25").collect()
+    reader = PackedReader(spark, d)
+    assert reader.text_part == "postings.porter2"
+    assert reader.stemmer_name == "porter2"
+    terms = [stem_as_required(t, porter2)
+             for t in ["tables", "queries", "fast"]]
+    wd = wand_topk(spark, d, terms, k=8, reader=reader).collect()
+    assert [(r["doc"], round(r["score"], 9)) for r in ex] == [
+        (r["doc"], round(r["score"], 9)) for r in wd
+    ]
+    # explicit raw tier still reachable
+    raw_reader = PackedReader(spark, d, text_part="postings")
+    assert raw_reader.stemmer_name is None
+    raw = wand_topk(spark, d, ["tables", "queries", "fast"], k=8,
+                    reader=raw_reader).collect()
+    ex_raw = execute("#combine:scorer=bm25(tables queries fast)", idx, k=8,
+                     default_scorer="bm25", part="postings").collect()
+    assert [(r["doc"], round(r["score"], 9)) for r in raw] == [
+        (r["doc"], round(r["score"], 9)) for r in ex_raw
+    ]

@@ -113,3 +113,97 @@ def test_dump_keys_and_index_cli(cli_index):
     r2 = _cli(["dump-index", "--index", cli_index, "--part", "lengths",
                "--limit", "10", "--cores", "2"])
     assert r2["rows"] == 10
+
+
+def test_build_special_cli(spark, cli_index, tmp_path):
+    """``build-special`` (BuildSpecialPart.java): prior + indicator parts
+    loaded from TSV files of <identifier>\\t<value> lines — numeric ids,
+    external names, missing identifiers dropped, prob->ln conversion."""
+    import math
+
+    from galago_git_spark.index.build import open_index
+
+    # indicator from mixed ids/names; one bogus identifier ignored
+    idx0 = open_index(spark, cli_index)
+    names = {
+        r["doc"]: f"{r['repo']}:{r['path']}@{r['commit']}"
+        for r in idx0.names.collect()
+    }
+    ind_file = tmp_path / "ind.tsv"
+    ind_file.write_text(
+        f"0\ttrue\n1\tfalse\n{names[2]}\ttrue\nnot-a-doc\ttrue\n"
+    )
+    r = _cli(["build-special", "--index", cli_index, "--type", "indicator",
+              "--input", str(ind_file), "--cores", "2"])
+    assert r["rows"] == 3  # bogus line dropped
+    idx = open_index(spark, cli_index)
+    got = {
+        (row["doc"], row["indicator"]) for row in idx.indicator.collect()
+    }
+    assert got == {(0, True), (1, False), (2, True)}
+
+    # priors: prob values stored as ln(p)
+    pr_file = tmp_path / "p.tsv"
+    pr_file.write_text("0\t0.5\n1\t0.25\n")
+    r2 = _cli(["build-special", "--index", cli_index, "--type", "prior",
+               "--prior-type", "prob", "--input", str(pr_file),
+               "--cores", "2"])
+    assert r2["rows"] == 2
+    idx2 = open_index(spark, cli_index)
+    pri = {row["doc"]: row["prior"] for row in idx2.priors.collect()}
+    assert abs(pri[0] - math.log(0.5)) < 1e-12
+    assert abs(pri[1] - math.log(0.25)) < 1e-12
+
+
+def test_tokenize_cli():
+    r = _cli(["tokenize", "--text", "<title>Running Tables</title> body",
+              "--tag-fields", "title", "--stemmer", "porter2"])
+    assert r["terms"] == ["run", "tabl", "bodi"]
+    assert r["tags"] == [{"field": "title", "begin": 1, "end": 3}]
+    r2 = _cli(["tokenize", "--text", "a b a"])
+    assert r2["n_terms"] == 3 and r2["n_unique"] == 2
+
+
+def test_overwrite_manifest_cli(cli_index):
+    r = _cli(["overwrite-manifest", "--index", cli_index,
+              "--set", "note=patched", "--set", "retention_days=30"])
+    assert r["params_set"] == {"note": "patched", "retention_days": 30}
+    import json as _json
+
+    with open(f"{cli_index}/manifest.json") as f:
+        params = _json.load(f)["params"]
+    assert params["note"] == "patched" and params["retention_days"] == 30
+
+
+def test_build_partial_cli(spark, tmp_path):
+    """build-partial (BuildPartialIndex.java): subset index from a name
+    list over the source corpus; inherits the source's stemmer param."""
+    import os
+
+    from galago_git_spark.index.build import open_index
+
+    corpus_dir = str(tmp_path / "corpus")
+    rows = [
+        ("r", f"d{i}.py", f"c{i}", "py", f"tables running doc {i}")
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    ).write.parquet(corpus_dir)
+    src = str(tmp_path / "src")
+    _cli(["build", "--input", corpus_dir, "--index", src,
+          "--stemmer", "porter2", "--cores", "2"])
+    names_file = tmp_path / "names.txt"
+    names_file.write_text("r:d1.py@c1\nr:d4.py@c4\nr:d7.py@c7\n")
+    out = str(tmp_path / "partial")
+    r = _cli(["build-partial", "--index", src, "--names", str(names_file),
+              "--output", out, "--corpus", corpus_dir, "--cores", "2"])
+    assert r["n_docs"] == 3 and r["requested"] == 3
+    pidx = open_index(spark, out)
+    assert {x["path"] for x in pidx.names.collect()} == {
+        "d1.py", "d4.py", "d7.py"
+    }
+    # stemmer inherited from the source manifest
+    assert pidx.default_text_part == "postings.porter2"
+    assert not os.path.exists(os.path.join(out, "corpus_parquet"))
