@@ -666,6 +666,46 @@ def cmd_build_special(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_stemmer_conflation(args: argparse.Namespace) -> dict:
+    """``galago stemmer-conflation`` analog
+    (``tools/apps/BuildStemmerConflation.java:34-47``): build the index
+    part mapping each stemmed term to its observed surface forms. The
+    reference re-parses raw input files; here the vocabulary comes from
+    an index's own postings part (one column-pruned scan) or, with
+    ``--input``/``--input-format``, from freshly parsed+tokenized files
+    (the reference's path). Read it back with ``dump-keys``/``dump-index
+    --part conflation.<stemmer>``."""
+    spark = _get_spark(args.cores, "galago-conflation")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import build_conflation_part
+
+    source = None
+    if args.input:
+        from pyspark.sql import functions as F
+
+        from galago_git_spark.functions.tokenize import tokenize_col
+        from galago_git_spark.sources.formats import read_corpus_files
+
+        parsed = read_corpus_files(spark, args.input.split(","),
+                                   fmt=args.input_format)
+        source = parsed.select(
+            F.explode(tokenize_col(F.col("text"))).alias("term")
+        )
+    t0 = time.perf_counter()
+    part = build_conflation_part(
+        spark, args.index, stemmer=args.stemmer, source=source
+    )
+    n = spark.read.parquet(part).count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cmd": "stemmer-conflation",
+        "part": part,
+        "stems": n,
+        "build_sec": round(dt, 3),
+    }
+
+
 def cmd_build_ann(args: argparse.Namespace) -> dict:
     """Build the on-disk IVF ANN part (operators/ann_index.py) over an
     embeddings parquet table — the ANN-plane sibling of ``build``."""
@@ -869,12 +909,22 @@ _PART_KEYS = {
 }
 
 
+def _part_key(part: str) -> str | None:
+    """Key column of a part, including stemmed/conflation variants
+    (``postings.porter2`` keys like ``postings``; ``conflation.<s>`` keys
+    on the stemmed term — ConflationIndexReader.getIterator key space)."""
+    base = part.split(".", 1)[0]
+    if base == "conflation":
+        return "stem"
+    return _PART_KEYS.get(base)
+
+
 def cmd_dump_keys(args: argparse.Namespace) -> dict:
     """``galago dump-keys`` analog (tools/apps/DumpKeysFn.java): distinct
     keys of an index part on stderr."""
     spark = _get_spark(args.cores, "galago-dump")
     spark.sparkContext.setLogLevel("ERROR")
-    key = _PART_KEYS.get(args.part)
+    key = _part_key(args.part)
     if key is None:
         raise SystemExit(f"unknown part {args.part!r}; one of {sorted(_PART_KEYS)}")
     rows = (
@@ -892,7 +942,7 @@ def cmd_dump_index(args: argparse.Namespace) -> dict:
     rows of an index part as TSV on stderr."""
     spark = _get_spark(args.cores, "galago-dump")
     spark.sparkContext.setLogLevel("ERROR")
-    key = _PART_KEYS.get(args.part)
+    key = _part_key(args.part)
     if key is None:
         raise SystemExit(f"unknown part {args.part!r}; one of {sorted(_PART_KEYS)}")
     df = spark.read.parquet(f"{args.index}/{args.part}")
@@ -1249,6 +1299,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="indicator value for docs absent from the part")
     bsp.add_argument("--cores", type=int, default=8)
     bsp.set_defaults(fn=cmd_build_special)
+
+    scf = sub.add_parser("stemmer-conflation")
+    scf.add_argument("--index", required=True)
+    scf.add_argument("--stemmer", default="porter2")
+    scf.add_argument("--input", default=None,
+                     help="optional comma-separated raw files: conflate a "
+                          "freshly tokenized corpus instead of the index's "
+                          "postings vocabulary (the reference's path)")
+    scf.add_argument("--input-format", default="trectext")
+    scf.add_argument("--cores", type=int, default=8)
+    scf.set_defaults(fn=cmd_stemmer_conflation)
 
     ba = sub.add_parser("build-ann")
     ba.add_argument("--input", required=True, help="embeddings parquet dir")

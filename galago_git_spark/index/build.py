@@ -914,3 +914,64 @@ def build_indicator_part(
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)
     return path
+
+
+def build_conflation_part(
+    spark: SparkSession,
+    index_dir: str,
+    stemmer: str = "porter2",
+    source: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> str:
+    """Write the stemmer-conflation part: stemmed term -> sorted distinct
+    surface forms observed in the corpus — the BuildStemmerConflation
+    analog (``tools/apps/BuildStemmerConflation.java:70-118``: parse ->
+    tokenize -> ConflationExtractor emits (stem(term), term) pairs ->
+    ConflationReducer dedups -> ConflationIndexWriter groups values per
+    key, ``parse/stem/ConflationExtractor.java:29-38``).
+
+    Spark-first collapse: the extractor/sort/reducer pipeline is one
+    vocabulary projection + one small groupBy. By default the vocabulary
+    comes from the index's OWN raw postings part (``SELECT DISTINCT
+    term``) — parquet column pruning reads just the ``term`` column, and
+    the shuffle is vocab-sized (tiny next to the corpus). Pass ``source``
+    (any (term) DataFrame, e.g. a freshly tokenized corpus) to conflate
+    without an index. Output: ``conflation.<stemmer>/`` parquet
+    (stem string, terms array<string> sorted), manifest-recorded.
+    """
+    from galago_git_spark.functions.stem import get_stemmer, stem_pandas
+
+    get_stemmer(stemmer)  # fail fast on unknown names
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if source is None:
+        source = spark.read.parquet(os.path.join(index_dir, "postings"))
+    vocab = source.select("term").distinct()
+    conf = (
+        vocab.withColumn("stem", stem_pandas(F.col("term"), stemmer))
+        .where(F.col("stem").isNotNull())
+        .groupBy("stem")
+        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+    )
+    path = os.path.join(index_dir, f"conflation.{stemmer}")
+    t0 = time.time()
+    (
+        conf.repartitionByRange(max(1, min(num_partitions, 8)), "stem")
+        .sortWithinPartitions("stem")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    with MANIFEST_LOCK:
+        manifest = {"params": {}, "parts": {}}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        manifest["parts"][f"conflation.{stemmer}"] = {
+            "path": path,
+            "seconds": round(time.time() - t0, 3),
+            "params": {"stemmer": stemmer},
+        }
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+    return path

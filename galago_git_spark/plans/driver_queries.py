@@ -2119,6 +2119,29 @@ def q_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(score_frame("#combine(tables queries customer)", idx))
 
 
+def q_conflation_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmer-conflation part (BuildStemmerConflation.java:70-118,
+    ConflationExtractor.java:29-38): each porter2 stem mapped to the
+    sorted distinct surface forms observed in the corpus — the same plan
+    ``index.build.build_conflation_part`` persists (one column-pruned
+    vocabulary projection + one vocab-sized groupBy)."""
+    from galago_git_spark.functions.stem import stem_pandas
+
+    idx = inline_index(_docs(spark, sf_dir))
+    vocab = idx.postings.select("term").distinct()
+    return (
+        vocab.withColumn("stem", stem_pandas(F.col("term"), "porter2"))
+        .where(F.col("stem").isNotNull())
+        .groupBy("stem")
+        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+    )
+
+
+SQL_CONFLATION = f"""WITH {_sql_stem_vocab()}
+SELECT stem, list_sort(list(DISTINCT term)) AS terms
+FROM stemmed GROUP BY stem"""
+
+
 def _sql_stemmed_dirichlet(raw_terms: list[str], mu=1500.0) -> str:
     """Dirichlet over the SQL-stemmed postings; query terms stem through
     the SAME SQL chain (distinct stems assumed — weights stay 1/n)."""
@@ -2161,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 (stemmer, working set, tag fields, bil2) + the
         # --- two entries whose implementation CHANGED in r4 (part-backed
         # --- #sdm WAND; skew-guarded jaccard)
+        "fti_conflation_part": q_conflation_part,
         "fti_stemmed_postings": q_stemmed_postings,
         "fti_stemmed_topk": q_stemmed_topk,
         "fti_working_set": q_working_set,
@@ -2247,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fti_conflation_part": SQL_CONFLATION,
         "fti_stemmed_postings": SQL_STEMMED_POSTINGS,
         "fti_stemmed_topk": _rank_sql(
             _sql_stemmed_dirichlet(["tables", "queries", "customer"])

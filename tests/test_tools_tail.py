@@ -207,3 +207,33 @@ def test_build_partial_cli(spark, tmp_path):
     # stemmer inherited from the source manifest
     assert pidx.default_text_part == "postings.porter2"
     assert not os.path.exists(os.path.join(out, "corpus_parquet"))
+
+
+def test_stemmer_conflation_cli(spark, cli_index):
+    """stemmer-conflation (BuildStemmerConflation.java:34-47,70-118):
+    conflation part maps stem -> sorted distinct surface forms; by
+    default the vocabulary is the index's own postings part."""
+    from galago_git_spark.functions.stem import porter2
+
+    r = _cli(["stemmer-conflation", "--index", cli_index,
+              "--stemmer", "porter2", "--cores", "2"])
+    assert r["stems"] > 0
+    rows = spark.read.parquet(f"{cli_index}/conflation.porter2").collect()
+    vocab = {
+        v["term"]
+        for v in spark.read.parquet(f"{cli_index}/postings")
+        .select("term").distinct().collect()
+    }
+    seen: set[str] = set()
+    for row in rows:
+        for t in row["terms"]:
+            assert porter2(t) == row["stem"]
+            seen.add(t)
+        assert list(row["terms"]) == sorted(set(row["terms"]))
+    assert seen == vocab  # every surface form accounted for exactly once
+    # part is manifest-recorded and readable through the dump tools
+    with open(f"{cli_index}/manifest.json") as f:
+        assert "conflation.porter2" in json.load(f)["parts"]
+    r2 = _cli(["dump-keys", "--index", cli_index, "--part",
+               "conflation.porter2", "--limit", "5", "--cores", "2"])
+    assert r2["keys"] > 0
