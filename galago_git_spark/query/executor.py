@@ -600,6 +600,7 @@ def node_stats(node: Node, index: Index) -> TermStats:
         # index — AnnotateCollectionStatistics reads global stats no
         # matter what doc set is being scored
         index = index.stats_base
+    if node.operator in ("counts", "extents", "text"):
         term = str(node.default_param)
         found = index.term_stats([term])
         return found.get(term, TermStats(term, 0, 0, 0))

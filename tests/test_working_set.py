@@ -114,6 +114,24 @@ def test_working_set_wsum(spark, ws_index):
     assert {r["doc"] for r in rows} == {0, 2}
 
 
+def test_sdm_scores_match_unrestricted(spark, ws_index):
+    """Complex count nodes (od/uw windows) must take their statistics
+    from the FULL index under a working set — regression for the
+    node_stats leaf-check clobber, where window nodes fell into the
+    leaf termstats lookup and scored with TermStats(0,0,0)."""
+    full = {
+        r["doc"]: round(r["score"], 9)
+        for r in score_frame("#sdm(table row)", ws_index).collect()
+    }
+    ws = {
+        r["doc"]: round(r["score"], 9)
+        for r in score_frame(
+            "#sdm(table row)", ws_index, working=[0, 1, 4]
+        ).collect()
+    }
+    assert ws == {d: full[d] for d in (0, 1, 4)}
+
+
 def test_working_set_with_sdm_and_stemmed_part(spark):
     # composes with operator trees and the stemmed routing
     docs = spark.createDataFrame(
