@@ -6,7 +6,7 @@
 Subcommands::
 
     build        --input DIR|synthetic:N --index DIR [--cores N] [--packed]
-                 [--positions] [--resume]
+                 [--no-positions] [--resume]
     search       --index DIR --query "..." [--k K] [--scorer S] [--wand]
     batch-search --index DIR --queries FILE.json [--k K] [--wand] [--repeats R]
                  (queries file: {"queries": [{"number": "...", "text": "..."}]},
@@ -1114,6 +1114,41 @@ def cmd_transform_query(args: argparse.Namespace) -> dict:
     return {"cmd": "transform-query", "query": args.query, "transformed": str(node)}
 
 
+def cmd_debug_query(args: argparse.Namespace) -> dict:
+    """``galago debug-query`` analog (DebugQuery.java): run each query
+    with annotation on and print the per-document AnnotatedNode trace.
+    ``--docid`` restricts the trace to one named document (the reference's
+    working-set hack, DebugQuery.java:62-66); ``--query-file`` takes one
+    query per line."""
+    spark = _get_spark(args.cores, "galago-debug-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.annotate import annotate
+
+    idx = open_index(spark, args.index)
+    queries: list[str] = []
+    if args.query:
+        queries.append(args.query)
+    if args.query_file:
+        with open(args.query_file) as f:
+            queries.extend(line.strip() for line in f if line.strip())
+    if not queries:
+        raise SystemExit("debug-query needs --query or --query-file")
+    docs = None
+    if args.docid:
+        docs = [int(args.docid) if args.docid.lstrip("-").isdigit()
+                else args.docid]
+    traces = [
+        annotate(q, idx, k=args.k, docs=docs, default_scorer=args.scorer)
+        for q in queries
+    ]
+    spark.stop()
+    out = {"cmd": "debug-query", "queries": queries, "traces": traces}
+    print(json.dumps(traces, indent=2 if args.pretty else None),
+          file=sys.stderr)
+    return out
+
+
 def cmd_eval(args: argparse.Namespace) -> dict:
     """``galago eval`` analog: metrics over a TREC run + qrels."""
     spark = _get_spark(args.cores, "galago-eval")
@@ -1180,7 +1215,11 @@ def main(argv: list[str] | None = None) -> int:
                         "scan time (one task per file-split; for huge "
                         "uncompressed trectext/trecweb/twitter/tsv/jsonl)")
     b.add_argument("--packed", action="store_true")
-    b.add_argument("--positions", action="store_true")
+    b.add_argument("--positions", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="write the positional postings part (the "
+                        "reference default — PositionIndexWriter); "
+                        "--no-positions for a count-only build")
     b.add_argument("--resume", action="store_true")
     b.add_argument("--block-size", type=int, default=512)
     b.add_argument("--bucket-bits", type=int, default=12)
@@ -1261,7 +1300,8 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--output", required=True, help="new index dir")
     bp.add_argument("--corpus", default=None,
                     help="corpus parquet (default: <index>/corpus_parquet)")
-    bp.add_argument("--positions", action="store_true")
+    bp.add_argument("--positions", action=argparse.BooleanOptionalAction,
+                    default=True)
     bp.add_argument("--packed", action="store_true")
     bp.add_argument("--cores", type=int, default=8)
     bp.set_defaults(fn=cmd_build_partial)
@@ -1439,6 +1479,20 @@ def main(argv: list[str] | None = None) -> int:
 
     oh = sub.add_parser("operator-help")
     oh.set_defaults(fn=cmd_operator_help)
+
+    dbq = sub.add_parser("debug-query")
+    dbq.add_argument("--index", required=True)
+    dbq.add_argument("--query", default=None)
+    dbq.add_argument("--query-file", default=None,
+                     help="one query per line (DebugQuery queryFile)")
+    dbq.add_argument("--docid", default=None,
+                     help="trace exactly this document name/id")
+    dbq.add_argument("--k", type=int, default=10,
+                     help="requested results to trace")
+    dbq.add_argument("--scorer", default="dirichlet")
+    dbq.add_argument("--pretty", action="store_true", default=True)
+    dbq.add_argument("--cores", type=int, default=8)
+    dbq.set_defaults(fn=cmd_debug_query)
 
     tq = sub.add_parser("transform-query")
     tq.add_argument("--query", required=True)

@@ -289,6 +289,17 @@ def compile_count(
         term = str(node.default_param)
         matched = index.postings.filter(F.col("term") == term)
         if "positions" not in matched.columns:
+            if need_positions:
+                # fail with an actionable message instead of a NoneType
+                # crash inside the window kernels (reference postings
+                # parts always carry positions; a count-only build here
+                # simply cannot serve positional operators)
+                raise ValueError(
+                    "positional operator (#od/#uw/#sdm/#inside/#syn with "
+                    "positions) over an index built without positions — "
+                    "rebuild with build_index(positions=True) / "
+                    "`build --positions`"
+                )
             # count-only build (positions=False) — ExtentsToCountLeaf shape
             matched = matched.withColumn(
                 "positions", F.lit(None).cast("array<int>")
@@ -839,23 +850,20 @@ def _is_flat_term_scorer(node: Node) -> bool:
     )
 
 
-def score_frame(
+def prepare_query(
     query: str | Node,
     index: Index,
     default_scorer: str = "dirichlet",
     op_repls: dict | None = None,
     part: str | None = None,
     working: list | None = None,
-) -> DataFrame:
-    """Full scored candidate set ``(doc, score)`` — unranked, unlimited.
-    The building block for execute() and for oracle-checked wrappers that
-    need to rank on rounded scores. ``op_repls`` is the user operator
-    aliasing map (ReplaceOperatorTraversal's ``opRepls`` parameter).
-    ``part`` picks the text part (``"postings"`` forces the raw part;
-    default = the index's DiskIndex-style default, i.e. the stemmed part
-    when one was built); query terms are transformed to match.
-    ``working``: doc ids or names — score exactly that set
-    (WorkingSetDocumentModel, see :func:`working_set_view`)."""
+) -> tuple[Node, Index]:
+    """Parse + route + transform — the full pre-execution pipeline
+    (text-part routing, stemming, ReplaceOperatorTraversal aliasing,
+    relevance-model expansion, the traversal rewrite chain), returning
+    the transformed node and the routed index view. The shared prologue
+    of :func:`score_frame` and the annotation plane
+    (``query/annotate.py``, the debug-query tool)."""
     node = parse(query) if isinstance(query, str) else query
     index, _stem_fn = _resolve_text_part(index, part)
     if _stem_fn is not None:
@@ -887,6 +895,30 @@ def score_frame(
             default_scorer=default_scorer,
         )
     node = transform(node, default_scorer)  # op_repls already applied above
+    return node, index
+
+
+def score_frame(
+    query: str | Node,
+    index: Index,
+    default_scorer: str = "dirichlet",
+    op_repls: dict | None = None,
+    part: str | None = None,
+    working: list | None = None,
+) -> DataFrame:
+    """Full scored candidate set ``(doc, score)`` — unranked, unlimited.
+    The building block for execute() and for oracle-checked wrappers that
+    need to rank on rounded scores. ``op_repls`` is the user operator
+    aliasing map (ReplaceOperatorTraversal's ``opRepls`` parameter).
+    ``part`` picks the text part (``"postings"`` forces the raw part;
+    default = the index's DiskIndex-style default, i.e. the stemmed part
+    when one was built); query terms are transformed to match.
+    ``working``: doc ids or names — score exactly that set
+    (WorkingSetDocumentModel, see :func:`working_set_view`)."""
+    node, index = prepare_query(
+        query, index, default_scorer, op_repls=op_repls, part=part,
+        working=working,
+    )
     if node.operator in ("require", "reject"):
         # RequireIterator / RejectIterator over a scored child: the filter
         # indicator gates the ranked result (semi/anti join) — supports
