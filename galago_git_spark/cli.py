@@ -530,6 +530,31 @@ def cmd_tokenize(args: argparse.Namespace) -> dict:
             "top": counts.most_common(10),
         }
     )
+    if getattr(args, "index", None):
+        # TokenizeAndGrabStats.java:40-69 — stats for every unique term of
+        # the document from the index (one batched termstats lookup; terms
+        # route through the index's default text part like query leaves)
+        spark = _get_spark(args.cores, "galago-tokenize-stats")
+        spark.sparkContext.setLogLevel("ERROR")
+        from galago_git_spark.index.build import open_index
+        from galago_git_spark.query.executor import _resolve_text_part
+
+        idx0 = open_index(spark, args.index)
+        idx, stem_fn = _resolve_text_part(idx0, None)
+        uniq = sorted(counts)
+        lookup = [stem_fn(t) for t in uniq] if stem_fn else uniq
+        found = idx.term_stats(sorted(set(lookup)))
+        out["clen"] = idx.collection_stats.collection_length
+        out["term_stats"] = [
+            {
+                "term": t,
+                "cf": found[lt].cf if lt in found else 0,
+                "df": found[lt].df if lt in found else 0,
+                "maxTF": found[lt].max_tf if lt in found else 0,
+            }
+            for t, lt in zip(uniq, lookup)
+        ]
+        spark.stop()
     return out
 
 
@@ -1114,6 +1139,21 @@ def cmd_transform_query(args: argparse.Namespace) -> dict:
     return {"cmd": "transform-query", "query": args.query, "transformed": str(node)}
 
 
+def cmd_version(args: argparse.Namespace) -> dict:
+    """``galago get-version-info`` analog (GetVersionInfoFn.java): the
+    engine version plus the versions of the runtime it executes on."""
+    import pyspark
+
+    from galago_git_spark import __version__
+
+    return {
+        "cmd": "version",
+        "version": __version__,
+        "pyspark": pyspark.__version__,
+        "python": sys.version.split()[0],
+    }
+
+
 def cmd_debug_query(args: argparse.Namespace) -> dict:
     """``galago debug-query`` analog (DebugQuery.java): run each query
     with annotation on and print the per-document AnnotatedNode trace.
@@ -1321,6 +1361,10 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--stemmer", default=None)
     tk.add_argument("--full", action="store_true",
                     help="print every term, not just the first 50")
+    tk.add_argument("--index", default=None,
+                    help="also report per-term index statistics "
+                         "(tokenize-and-grab-stats)")
+    tk.add_argument("--cores", type=int, default=4)
     tk.set_defaults(fn=cmd_tokenize)
 
     bsp = sub.add_parser("build-special")
@@ -1479,6 +1523,9 @@ def main(argv: list[str] | None = None) -> int:
 
     oh = sub.add_parser("operator-help")
     oh.set_defaults(fn=cmd_operator_help)
+
+    vi = sub.add_parser("version")
+    vi.set_defaults(fn=cmd_version)
 
     dbq = sub.add_parser("debug-query")
     dbq.add_argument("--index", required=True)

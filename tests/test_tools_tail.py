@@ -237,3 +237,36 @@ def test_stemmer_conflation_cli(spark, cli_index):
     r2 = _cli(["dump-keys", "--index", cli_index, "--part",
                "conflation.porter2", "--limit", "5", "--cores", "2"])
     assert r2["keys"] > 0
+
+
+def test_version_cli():
+    r = _cli(["version"])
+    assert r["cmd"] == "version" and r["version"] and r["pyspark"]
+
+
+def test_tokenize_and_grab_stats_cli(tmp_path, cli_index):
+    """TokenizeAndGrabStats.java:40-69: tokenize a document, report each
+    unique term's index statistics + collection length."""
+    f = tmp_path / "doc.txt"
+    f.write_text("def run(): return run")
+    r = _cli(["tokenize", "--file", str(f), "--index", cli_index,
+              "--cores", "2"])
+    assert r["clen"] > 0
+    by_term = {t["term"]: t for t in r["term_stats"]}
+    assert set(by_term) == {"def", "run", "return"}
+    # 'def' appears in every synthetic doc; stats must be real counts
+    assert by_term["def"]["df"] > 0 and by_term["def"]["cf"] >= by_term["def"]["df"]
+
+
+def test_debug_query_cli(cli_index):
+    r = _cli(["debug-query", "--index", cli_index,
+              "--query", "#combine(def return)", "--k", "2", "--cores", "2"])
+    res = r["traces"][0]["results"]
+    assert len(res) == 2 and res[0]["rank"] == 1
+    ann = res[0]["annotation"]
+    assert ann["type"] == "combine"
+    assert ann["returnValue"] == pytest.approx(res[0]["score"], abs=1e-5)
+    kinds = {c["kind"] for c in ann["children"]}
+    assert kinds == {"score"}
+    leaf = ann["children"][0]["children"][0]
+    assert leaf["kind"] == "count" and isinstance(leaf["returnValue"], int)
