@@ -1040,6 +1040,41 @@ def cmd_dump_manifest(args: argparse.Namespace) -> dict:
     return {"cmd": "dump-manifest", "manifest": manifest}
 
 
+def cmd_annotations_generate(args: argparse.Namespace) -> dict:
+    """``galago annotations-generate`` analog (AnnotationsGenerateFn.java):
+    extract entity annotations over a corpus with a user-supplied
+    extractor (the reference loads an external Stanford CRF model; here
+    ``--extractor mod:fn`` imports any ``str -> [(type, begin, end)]``
+    callable — no model is bundled). Output: a parquet table
+    (doc, entity_type, begin, end, entity_text)."""
+    import importlib
+
+    spark = _get_spark(args.cores, "galago-annotations")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.operators.annotations import annotate_entities
+
+    mod_name, _, fn_name = args.extractor.partition(":")
+    if not fn_name:
+        raise SystemExit("--extractor must be module:function")
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    corpus = spark.read.parquet(args.input)
+    doc_col = "doc_id" if "doc_id" in corpus.columns else "doc"
+    text_col = "text" if "text" in corpus.columns else "content"
+    types = (
+        [t.strip() for t in args.types.split(",") if t.strip()]
+        if args.types else None
+    )
+    ann = annotate_entities(
+        corpus, extractor=fn, entity_types=types,
+        doc_col=doc_col, text_col=text_col,
+    )
+    ann.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    spark.stop()
+    return {"cmd": "annotations-generate", "output": args.output,
+            "n_annotations": n}
+
+
 def cmd_get_docs_jsonl(args: argparse.Namespace) -> dict:
     """``galago get-docs-jsonl`` analog (GetDocsJSONL.java:23-33): pull the
     documents named in --input (one external name per line) as one JSON
@@ -1504,6 +1539,18 @@ def main(argv: list[str] | None = None) -> int:
     dm = sub.add_parser("dump-manifest")
     dm.add_argument("--index", required=True)
     dm.set_defaults(fn=cmd_dump_manifest)
+
+    ag = sub.add_parser("annotations-generate")
+    ag.add_argument("--input", required=True, help="corpus parquet dir")
+    ag.add_argument("--output", required=True, help="annotations parquet dir")
+    ag.add_argument("--extractor", required=True,
+                    help="module:function entity extractor "
+                         "(text -> [(type, begin, end)])")
+    ag.add_argument("--types", default=None,
+                    help="comma-separated entity types to keep "
+                         "(reference: up to LOCATION,PERSON,ORGANIZATION)")
+    ag.add_argument("--cores", type=int, default=8)
+    ag.set_defaults(fn=cmd_annotations_generate)
 
     gdj = sub.add_parser("get-docs-jsonl")
     gdj.add_argument("--index", required=True)
