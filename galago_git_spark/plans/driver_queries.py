@@ -2175,12 +2175,226 @@ scored AS (
   GROUP BY c.doc)"""
 
 
+# ---------------------------------------------------------------------------
+# E. lifecycle planes graded end-to-end (merge / incremental / links /
+#    indicator / #log) — these upgrade the SURVEY rows that were
+#    pytest-verified only into driver-oracle-graded entries: the oracle is
+#    always the plain full-corpus SQL, so the Spark-side lifecycle machinery
+#    (k-way merge with doc renumbering, geometric shard union view, link
+#    harvest) must be value-invisible to pass.
+# ---------------------------------------------------------------------------
+
+_MERGED_DIRS: dict[str, str] = {}
+_INCR_ROOTS: dict[str, str] = {}
+
+
+def _lifecycle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> build-pipeline corpus rows with the original doc_id
+    recoverable from ``path`` (zero-padded, so the deterministic
+    (repo, path, commit) renumbering preserves doc_id order)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.lit("corpus").alias("repo"),
+        F.concat(
+            F.lit("doc/"), F.format_string("%010d", F.col("doc_id"))
+        ).alias("path"),
+        F.lit("").alias("commit"),
+        F.coalesce(F.col("lang"), F.lit("md")).alias("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+
+
+def _orig_doc(scored: DataFrame, names: DataFrame) -> DataFrame:
+    """Map internal doc ids back to the documents.doc_id the oracle keys
+    on, via the names part's path (``doc/<%010d doc_id>``)."""
+    return scored.join(names.select("doc", "path"), "doc").select(
+        F.substring("path", 5, 10).cast("long").alias("doc"), "score"
+    )
+
+
+def q_merged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MERGE graded end-to-end (MergeIndex.java/GenericIndexMerger,
+    index/merge.py): build two half-corpus indexes (doc_id parity split),
+    k-way merge them with global renumbering, score a dirichlet #combine
+    on the merged index — the oracle is the plain full-corpus SQL, so the
+    merge (union + doc remap + termstats add + stats recompute) must be
+    value-identical to a batch build over the whole corpus."""
+    import os
+    import tempfile
+
+    from galago_git_spark.index.build import build_index, open_index
+    from galago_git_spark.index.merge import merge_indexes
+
+    if sf_dir not in _MERGED_DIRS:
+        corpus = _lifecycle_corpus(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="gg_mergeq_")
+        halves = []
+        for i in (0, 1):
+            d = os.path.join(root, f"half{i}")
+            build_index(
+                corpus.filter(F.col("doc_id") % 2 == i), d, positions=False
+            )
+            halves.append(d)
+        out = os.path.join(root, "merged")
+        merge_indexes(spark, halves, out)
+        _MERGED_DIRS[sf_dir] = out
+    idx = open_index(spark, _MERGED_DIRS[sf_dir])
+    scored = score_frame("#combine(table row)", idx)
+    return _ranked(_orig_doc(scored, idx.names))
+
+
+def q_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeometricIndex/incremental ingest graded end-to-end
+    (GeometricIndex.java, streaming/incremental.py): four corpus batches
+    (doc_id mod 4) indexed as shards with disjoint doc-id spaces
+    (radix=5, so all four shards stay live), queried through the
+    shard-union view — must match the plain full-corpus oracle."""
+    from galago_git_spark.streaming.incremental import IncrementalIndexer
+
+    import tempfile
+
+    if sf_dir not in _INCR_ROOTS:
+        root = tempfile.mkdtemp(prefix="gg_incrq_")
+        indexer = IncrementalIndexer(spark, root, radix=5)
+        corpus = _lifecycle_corpus(spark, sf_dir)
+        for i in range(4):
+            indexer.add_batch(corpus.filter(F.col("doc_id") % 4 == i))
+        _INCR_ROOTS[sf_dir] = root
+    indexer = IncrementalIndexer(spark, _INCR_ROOTS[sf_dir], radix=5)
+    idx = indexer.open()
+    scored = score_frame("#combine(fast row)", idx)
+    return _ranked(_orig_doc(scored, idx.names))
+
+
+def q_indicator_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#require(#indicator() #combine(table row))`` — the document-
+    indicator part (DocumentIndicatorWriter.java:20-40) as a retrieval
+    gate: indicator = docs with even n_chars, default-off for absent
+    docs."""
+    docs = _docs(spark, sf_dir)
+    idx = inline_index(docs)
+    idx.indicator = docs.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("n_chars") % 2 == 0).alias("indicator"),
+    )
+    idx.indicator_default = False
+    return _ranked(
+        score_frame("#require(#indicator() #combine(table row))", idx)
+    )
+
+
+def _sql_indicator_filter(mu: float = 1500.0) -> str:
+    base = _sql_dirichlet([("table", 1.0), ("row", 1.0)], mu=mu)
+    return f"""{base},
+gated AS (SELECT s.doc, s.s FROM scored s
+          JOIN documents d ON d.doc_id = s.doc
+          WHERE d.n_chars % 2 = 0)"""
+
+
+def q_log_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``#combine:norm=false(#scale:0.5(#bool(#band(table row)))
+    #log(#scale:3.0(#bool(table))))`` — LogIterator over a positive
+    scored child: candidates are docs containing 'table' (the #band child
+    adds no new docs), every candidate scores ln(3.0) from the #log arm
+    plus 0.5 iff it also contains 'row'."""
+    idx = inline_index(_docs(spark, sf_dir))
+    return _ranked(score_frame(
+        "#combine:norm=false(#scale:0.5(#bool(#band(table row)))"
+        " #log(#scale:3.0(#bool(table))))",
+        idx,
+    ))
+
+
+SQL_LOG_SCORE = _rank_sql(f"""WITH {TOKS}, {TOK},
+cand AS (SELECT DISTINCT doc FROM tok WHERE term = 'table'),
+hasboth AS (SELECT doc FROM tok WHERE term IN ('table', 'row')
+            GROUP BY doc HAVING count(DISTINCT term) = 2),
+scored AS (
+  SELECT c.doc,
+         ln(3.0) + CASE WHEN b.doc IS NOT NULL THEN 0.5 ELSE 0.0 END AS s
+  FROM cand c LEFT JOIN hasboth b USING (doc))""")
+
+
+def q_link_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link harvest graded end-to-end (HarvestLinksFn.java,
+    operators/links.py): render a deterministic code corpus from each
+    document's first three tokens (``import t1`` / ``from t2 import x`` /
+    ``require('t3')``), extract references with the per-language regex
+    plane, resolve them to module files (``src/<doc>/<t1>.py``) within
+    the same repo, and aggregate per-target anchor evidence. The oracle
+    recomputes the same graph straight from the token arrays, so the
+    regex extraction + resolution joins must reproduce it exactly."""
+    from galago_git_spark.functions.tokenize import tokenize_pandas
+    from galago_git_spark.operators.links import anchor_counts, extract_links
+
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("source"), F.lit("s0")).alias("repo"),
+            tokenize_pandas(F.coalesce(F.col("text"), F.lit(""))).alias(
+                "terms"
+            ),
+        )
+        .filter(F.size("terms") >= 3)
+    )
+    rendered = base.select(
+        "doc_id",
+        "repo",
+        F.concat(
+            F.lit("src/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.element_at("terms", 1),
+            F.lit(".py"),
+        ).alias("path"),
+        F.concat(
+            F.lit("import "), F.element_at("terms", 1), F.lit("\n"),
+            F.lit("from "), F.element_at("terms", 2), F.lit(" import x\n"),
+            F.lit("require('"), F.element_at("terms", 3), F.lit("')\n"),
+        ).alias("content"),
+    )
+    names = rendered.select(F.col("doc_id").alias("doc"), "repo", "path")
+    links = extract_links(rendered)
+    return anchor_counts(links, names)
+
+
+SQL_LINK_ANCHORS = f"""WITH {TOKS},
+t3 AS (SELECT doc, terms[1] AS tok1, terms[2] AS tok2, terms[3] AS tok3
+       FROM toks WHERE len(terms) >= 3),
+nm AS (SELECT t.doc, coalesce(d.source, 's0') AS repo,
+              'src/' || t.doc || '/' || t.tok1 || '.py' AS path,
+              t.tok1 AS module
+       FROM t3 t JOIN documents d ON d.doc_id = t.doc),
+refs AS (
+  SELECT doc, tok1 AS ref FROM t3 WHERE regexp_matches(tok1, '^[a-z_]')
+  UNION ALL
+  SELECT doc, tok2 FROM t3 WHERE regexp_matches(tok2, '^[a-z_]')
+  UNION ALL
+  SELECT doc, tok3 FROM t3),
+edges AS (
+  SELECT DISTINCT s.doc AS src, t.doc AS dst
+  FROM refs r
+  JOIN nm s ON s.doc = r.doc
+  JOIN nm t ON t.module = r.ref AND t.repo = s.repo AND t.doc <> r.doc)
+SELECT e.dst AS dst_doc, count(*) AS in_degree,
+       list_sort(list(DISTINCT s.path)) AS anchors
+FROM edges e JOIN nm s ON s.doc = e.src
+GROUP BY e.dst"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered newest/least-recently-driver-checked FIRST (VERDICT r3
     item 9: the driver samples from the front, so entries whose last
     verification is oldest — plus everything new or changed this round —
     lead; the long-stable r1/r2 relational entries trail)."""
     return {
+        # --- new in r4 session 3: lifecycle planes graded end-to-end ---
+        "fti_merged_index_topk": q_merged_index,
+        "fti_incremental_topk": q_incremental_index,
+        "fti_indicator_filter": q_indicator_filter,
+        "fti_log_topk": q_log_score,
+        "graph_link_anchors": q_link_anchors,
         # --- new in r4 (stemmer, working set, tag fields, bil2) + the
         # --- two entries whose implementation CHANGED in r4 (part-backed
         # --- #sdm WAND; skew-guarded jaccard)
@@ -2271,6 +2485,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # lifecycle planes: merge/incremental grade against the PLAIN
+        # full-corpus SQL — the machinery must be value-invisible
+        "fti_merged_index_topk": _rank_sql(
+            _sql_dirichlet([("table", 1.0), ("row", 1.0)])
+        ),
+        "fti_incremental_topk": _rank_sql(
+            _sql_dirichlet([("fast", 1.0), ("row", 1.0)])
+        ),
+        "fti_indicator_filter": _rank_sql(
+            _sql_indicator_filter(), src="gated"
+        ),
+        "fti_log_topk": SQL_LOG_SCORE,
+        "graph_link_anchors": SQL_LINK_ANCHORS,
         "fti_conflation_part": SQL_CONFLATION,
         "fti_stemmed_postings": SQL_STEMMED_POSTINGS,
         "fti_stemmed_topk": _rank_sql(
