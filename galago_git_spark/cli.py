@@ -352,7 +352,19 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
             "queries_per_sec": round(n_q / wall, 3),
         }
 
-    work = [q for _ in range(args.repeats) for q in queries]
+    # TimedBatchSearch.java:122-137: optional seeded shuffle per repeat so
+    # timing runs are order-independent
+    rnd = None
+    if getattr(args, "seed", None) is not None:
+        import random
+
+        rnd = random.Random(args.seed)
+    work = []
+    for _ in range(args.repeats):
+        rep = list(queries)
+        if rnd is not None:
+            rnd.shuffle(rep)
+        work.extend(rep)
     times: list[float] = []
     t_wall0 = time.perf_counter()
 
@@ -385,8 +397,12 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
                     f"{r['score']:.6f} galago_git_spark",
                     file=sys.stderr,
                 )
+    # TimedBatchSearch's per-query time map (median across repeats)
+    per_query: dict[str, list[float]] = {}
+    for q, _rows, dt in results:
+        per_query.setdefault(str(q["number"]), []).append(dt)
     spark.stop()
-    return {
+    out = {
         "cmd": "batch-search",
         "n_queries": len(queries),
         "repeats": args.repeats,
@@ -398,6 +414,12 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
         "p50_sec": round(statistics.median(times), 4),
         "queries_per_sec": round(len(times) / wall, 3),
     }
+    if args.timing:
+        out["query_times_sec"] = {
+            k: round(statistics.median(v), 4)
+            for k, v in sorted(per_query.items())
+        }
+    return out
 
 
 def cmd_build_window(args: argparse.Namespace) -> dict:
@@ -1040,6 +1062,193 @@ def cmd_dump_manifest(args: argparse.Namespace) -> dict:
     return {"cmd": "dump-manifest", "manifest": manifest}
 
 
+def cmd_dump_key_value(args: argparse.Namespace) -> dict:
+    """``galago dump-key-value`` analog (DumpKeyValueFn.java:37-62): all
+    rows of one key from an index part (postings/window/field parts key
+    on term; lengths/names/priors/indicator on doc) as TSV on stderr."""
+    spark = _get_spark(args.cores, "galago-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    key = _part_key(args.part)
+    if key is None:
+        raise SystemExit(f"unknown part {args.part!r}; one of {sorted(_PART_KEYS)}")
+    df = spark.read.parquet(f"{args.index}/{args.part}")
+    kval = int(args.key) if key == "doc" else args.key
+    cols = [c for c in df.columns if c not in ("docs", "tfs", "pos")]
+    rows = (
+        df.filter(F.col(key) == F.lit(kval))
+        .select(*cols)
+        .orderBy(*[c for c in ("doc", "term", "begin") if c in cols])
+        .limit(args.limit)
+        .collect()
+    )
+    print(f"Dumping key: {args.key}", file=sys.stderr)
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols), file=sys.stderr)
+    spark.stop()
+    return {"cmd": "dump-key-value", "part": args.part, "key": args.key,
+            "rows": len(rows)}
+
+
+def cmd_dump_name_length(args: argparse.Namespace) -> dict:
+    """``galago dump-name-length`` analog (DumpNamesLengths.java:32-58):
+    ``name<tab>length`` per document on stderr (one names+lengths join)."""
+    spark = _get_spark(args.cores, "galago-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    from galago_git_spark.operators.docs import name_expr
+
+    names = spark.read.parquet(f"{args.index}/names")
+    lengths = spark.read.parquet(f"{args.index}/lengths")
+    rows = (
+        names.select("doc", name_expr().alias("name"))
+        .join(lengths, "doc")
+        .orderBy("doc")
+        .limit(args.limit)
+        .collect()
+    )
+    for r in rows:
+        print(f"{r['name']}\t{r['length']}", file=sys.stderr)
+    spark.stop()
+    return {"cmd": "dump-name-length", "rows": len(rows)}
+
+
+def cmd_dump_term_stats_ext(args: argparse.Namespace) -> dict:
+    """``galago dump-term-stats-ext`` analog (DumpTermStatisticsExtFn.java:
+    27-50): ``term<tab>cf<tab>df`` from one or more comma-separated
+    termstats parts (raw and/or stemmed), thresholded by --min-tf /
+    --min-df; multi-part stats accumulate per term like the reference's
+    merged key iterator."""
+    spark = _get_spark(args.cores, "galago-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    parts = [p.strip() for p in args.parts.split(",") if p.strip()]
+    frames = [
+        spark.read.parquet(f"{args.index}/{p}").select("term", "cf", "df")
+        for p in parts
+    ]
+    ts = (
+        reduce(_DF.unionByName, frames)
+        .groupBy("term")
+        .agg(F.sum("cf").alias("cf"), F.sum("df").alias("df"))
+        .filter((F.col("cf") >= args.min_tf) & (F.col("df") >= args.min_df))
+    )
+    rows = ts.orderBy("term").limit(args.limit).collect()
+    for r in rows:
+        print(f"{r['term']}\t{r['cf']}\t{r['df']}", file=sys.stderr)
+    spark.stop()
+    return {"cmd": "dump-term-stats-ext", "parts": parts, "terms": len(rows)}
+
+
+def cmd_dump_corpus(args: argparse.Namespace) -> dict:
+    """``galago dump-corpus`` analog (DumpCorpusFn.java): stream the
+    landed corpus rows (a file build's ``corpus_parquet`` or any corpus
+    parquet) as readable records on stderr."""
+    spark = _get_spark(args.cores, "galago-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    import os
+
+    if not args.corpus and not args.index:
+        raise SystemExit("dump-corpus needs --corpus or --index")
+    path = args.corpus or os.path.join(args.index, "corpus_parquet")
+    df = spark.read.parquet(path)
+    rows = df.orderBy(*[c for c in ("repo", "path") if c in df.columns]) \
+        .limit(args.limit).collect()
+    for r in rows:
+        ident = ":".join(
+            str(r[c]) for c in ("repo", "path") if c in df.columns
+        )
+        print(f"#IDENTIFIER: {ident}", file=sys.stderr)
+        if "content" in df.columns:
+            print("#CONTENT:", file=sys.stderr)
+            print(r["content"], file=sys.stderr)
+    spark.stop()
+    return {"cmd": "dump-corpus", "rows": len(rows)}
+
+
+def cmd_harvest_links(args: argparse.Namespace) -> dict:
+    """``galago harvest-links`` analog (HarvestLinksFn.java): extract
+    references from a corpus (import/include/require — the code-corpus
+    hyperlink analog, operators/links.py), resolve them to target
+    documents through the index's names part, and write the three output
+    streams the reference's job produces: ``links`` (raw extractions),
+    ``edges`` (resolved src->dst doc pairs), ``anchors`` (per-target
+    anchor evidence)."""
+    spark = _get_spark(args.cores, "galago-harvest-links")
+    spark.sparkContext.setLogLevel("ERROR")
+    import os
+
+    from galago_git_spark.operators.links import (
+        anchor_counts,
+        extract_links,
+        resolve_links,
+    )
+
+    corpus_path = args.corpus or os.path.join(args.index, "corpus_parquet")
+    corpus = spark.read.parquet(corpus_path)
+    names = spark.read.parquet(os.path.join(args.index, "names")).select(
+        "doc", "repo", "path"
+    )
+    links = extract_links(corpus)
+    os.makedirs(args.out, exist_ok=True)
+    links.write.mode("overwrite").parquet(os.path.join(args.out, "links"))
+    links = spark.read.parquet(os.path.join(args.out, "links"))
+    edges = resolve_links(links, names)
+    edges.write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
+    edges = spark.read.parquet(os.path.join(args.out, "edges"))
+    anchors = anchor_counts(links, names)
+    anchors.write.mode("overwrite").parquet(os.path.join(args.out, "anchors"))
+    counts = {
+        "links": links.count(),
+        "edges": edges.count(),
+        "anchor_targets": anchors.count(),
+    }
+    spark.stop()
+    return {"cmd": "harvest-links", "out": args.out, **counts}
+
+
+def cmd_pagerank(args: argparse.Namespace) -> dict:
+    """``galago pagerank`` analog (PageRankFn.java:40-52): run PageRank
+    over a resolved link graph (``harvest-links`` edges, or any parquet
+    of (src, dst)) with the index's names part as the node set; writes
+    (doc, score) parquet to --out and, with --to-prior, installs
+    ln(score) as the index's priors part (the reference's
+    pagerank-to-prior flow)."""
+    spark = _get_spark(args.cores, "galago-pagerank")
+    spark.sparkContext.setLogLevel("ERROR")
+    import os
+
+    from pyspark.sql import functions as F
+
+    from galago_git_spark.index.build import build_prior_part
+    from galago_git_spark.operators.pagerank import pagerank
+
+    nodes = spark.read.parquet(os.path.join(args.index, "names")).select("doc")
+    edges = spark.read.parquet(args.edges).select("src", "dst")
+    pr = pagerank(
+        nodes, edges, lambda_=args.lmbda, delta=args.delta,
+        max_iter=args.max_iter,
+    )
+    pr.write.mode("overwrite").parquet(args.out)
+    pr = spark.read.parquet(args.out)
+    top = pr.orderBy(F.col("score").desc(), "doc").limit(10).collect()
+    for r in top:
+        print(f"{r['doc']}\t{r['score']:.8f}", file=sys.stderr)
+    prior_part = None
+    if args.to_prior:
+        prior_part = build_prior_part(
+            pr.select("doc", F.log("score").alias("prior")), args.index
+        )
+    n = pr.count()
+    spark.stop()
+    return {"cmd": "pagerank", "out": args.out, "docs": n,
+            "prior_part": prior_part}
+
+
 def cmd_annotations_generate(args: argparse.Namespace) -> dict:
     """``galago annotations-generate`` analog (AnnotationsGenerateFn.java):
     extract entity annotations over a corpus with a user-supplied
@@ -1340,6 +1549,8 @@ def main(argv: list[str] | None = None) -> int:
     bs.add_argument("--part", default=None,
                     help="text part to query (postings | postings.<stemmer>)")
     bs.add_argument("--repeats", type=int, default=1)
+    bs.add_argument("--seed", type=int, default=None,
+                    help="shuffle query order per repeat (TimedBatchSearch)")
     bs.add_argument("--threads", type=int, default=1)
     bs.add_argument("--mode", choices=["daat", "plan"], default="daat",
                     help="daat: per-query WAND/executor; plan: whole batch as one DataFrame job")
@@ -1539,6 +1750,58 @@ def main(argv: list[str] | None = None) -> int:
     dm = sub.add_parser("dump-manifest")
     dm.add_argument("--index", required=True)
     dm.set_defaults(fn=cmd_dump_manifest)
+
+    dkv = sub.add_parser("dump-key-value")
+    dkv.add_argument("--index", required=True)
+    dkv.add_argument("--part", default="postings")
+    dkv.add_argument("--key", required=True)
+    dkv.add_argument("--limit", type=int, default=10000)
+    dkv.add_argument("--cores", type=int, default=4)
+    dkv.set_defaults(fn=cmd_dump_key_value)
+
+    dnl = sub.add_parser("dump-name-length")
+    dnl.add_argument("--index", required=True)
+    dnl.add_argument("--limit", type=int, default=10000)
+    dnl.add_argument("--cores", type=int, default=4)
+    dnl.set_defaults(fn=cmd_dump_name_length)
+
+    dte = sub.add_parser("dump-term-stats-ext")
+    dte.add_argument("--index", required=True)
+    dte.add_argument("--parts", default="termstats",
+                     help="comma-separated termstats parts")
+    dte.add_argument("--min-tf", type=int, default=0)
+    dte.add_argument("--min-df", type=int, default=0)
+    dte.add_argument("--limit", type=int, default=100000)
+    dte.add_argument("--cores", type=int, default=4)
+    dte.set_defaults(fn=cmd_dump_term_stats_ext)
+
+    dcp = sub.add_parser("dump-corpus")
+    dcp.add_argument("--index", default=None)
+    dcp.add_argument("--corpus", default=None,
+                     help="corpus parquet (default: <index>/corpus_parquet)")
+    dcp.add_argument("--limit", type=int, default=100)
+    dcp.add_argument("--cores", type=int, default=4)
+    dcp.set_defaults(fn=cmd_dump_corpus)
+
+    hl = sub.add_parser("harvest-links")
+    hl.add_argument("--index", required=True)
+    hl.add_argument("--corpus", default=None,
+                    help="corpus parquet (default: <index>/corpus_parquet)")
+    hl.add_argument("--out", required=True)
+    hl.add_argument("--cores", type=int, default=8)
+    hl.set_defaults(fn=cmd_harvest_links)
+
+    prk = sub.add_parser("pagerank")
+    prk.add_argument("--index", required=True)
+    prk.add_argument("--edges", required=True,
+                     help="(src, dst) parquet, e.g. harvest-links edges")
+    prk.add_argument("--out", required=True)
+    prk.add_argument("--lambda", dest="lmbda", type=float, default=0.5)
+    prk.add_argument("--delta", type=float, default=1e-6)
+    prk.add_argument("--max-iter", type=int, default=10)
+    prk.add_argument("--to-prior", action="store_true")
+    prk.add_argument("--cores", type=int, default=8)
+    prk.set_defaults(fn=cmd_pagerank)
 
     ag = sub.add_parser("annotations-generate")
     ag.add_argument("--input", required=True, help="corpus parquet dir")

@@ -270,3 +270,93 @@ def test_debug_query_cli(cli_index):
     assert kinds == {"score"}
     leaf = ann["children"][0]["children"][0]
     assert leaf["kind"] == "count" and isinstance(leaf["returnValue"], int)
+
+
+def test_dump_key_value_and_name_length_cli(spark, cli_index):
+    """DumpKeyValueFn.java:37-62 / DumpNamesLengths.java:32-58 analogs."""
+    ts = spark.read.parquet(f"{cli_index}/termstats")
+    row = ts.filter(F.col("term") == "def").collect()[0]
+    r = _cli(["dump-key-value", "--index", cli_index, "--part", "postings",
+              "--key", "def", "--cores", "2"])
+    assert r["rows"] == row["df"]  # one posting row per matching doc
+    # doc-keyed part: key parses as an id
+    r2 = _cli(["dump-key-value", "--index", cli_index, "--part", "lengths",
+               "--key", "0", "--cores", "2"])
+    assert r2["rows"] == 1
+    r3 = _cli(["dump-name-length", "--index", cli_index, "--cores", "2"])
+    assert r3["rows"] == 50
+
+
+def test_dump_term_stats_ext_cli(spark, cli_index):
+    """DumpTermStatisticsExtFn.java:27-50: thresholds drop rare terms."""
+    ts = spark.read.parquet(f"{cli_index}/termstats")
+    n_all = ts.count()
+    n_kept = ts.filter((F.col("cf") >= 5) & (F.col("df") >= 2)).count()
+    assert 0 < n_kept < n_all
+    r = _cli(["dump-term-stats-ext", "--index", cli_index,
+              "--parts", "termstats", "--min-tf", "5", "--min-df", "2",
+              "--cores", "2"])
+    assert r["terms"] == n_kept
+
+
+def test_harvest_links_pagerank_dump_corpus_cli(spark, tmp_path):
+    """HarvestLinksFn / PageRankFn / DumpCorpusFn analogs over a corpus
+    whose import graph is known: alpha->beta,gamma; beta->gamma,alpha;
+    gamma->alpha,beta; delta->alpha,beta (delta has no in-links)."""
+    import os
+
+    from galago_git_spark.index.build import build_index, open_index
+
+    rows = [
+        ("r1", f"src/{m}.py", "c0", "python",
+         f"import {d1}\nfrom {d2} import x\ndef {m}(): pass\n")
+        for m, d1, d2 in [
+            ("alpha", "beta", "gamma"), ("beta", "gamma", "alpha"),
+            ("gamma", "alpha", "beta"), ("delta", "alpha", "beta"),
+        ]
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, positions=False)
+    corpus.write.mode("overwrite").parquet(os.path.join(idx, "corpus_parquet"))
+
+    out = str(tmp_path / "lh")
+    r = _cli(["harvest-links", "--index", idx, "--out", out, "--cores", "2"])
+    assert r["links"] == 8 and r["edges"] == 8 and r["anchor_targets"] == 3
+
+    # resolved edges: delta (doc of src/delta.py) must have no in-links
+    names = {r2["path"]: r2["doc"]
+             for r2 in spark.read.parquet(f"{idx}/names").collect()}
+    dsts = {r2["dst"] for r2 in
+            spark.read.parquet(f"{out}/edges").collect()}
+    assert names["src/delta.py"] not in dsts
+
+    pr_out = str(tmp_path / "pr")
+    r3 = _cli(["pagerank", "--index", idx, "--edges", f"{out}/edges",
+               "--out", pr_out, "--to-prior", "--cores", "2"])
+    assert r3["docs"] == 4 and r3["prior_part"]
+    pr = {r2["doc"]: r2["score"]
+          for r2 in spark.read.parquet(pr_out).collect()}
+    # dangling-free in-link mass: delta (never referenced) scores lowest
+    assert min(pr, key=pr.get) == names["src/delta.py"]
+    idx_open = open_index(spark, idx)
+    assert idx_open.priors is not None
+
+    r4 = _cli(["dump-corpus", "--index", idx, "--limit", "2", "--cores", "2"])
+    assert r4["rows"] == 2
+
+
+def test_batch_search_seed_shuffle_cli(cli_index, tmp_path):
+    """TimedBatchSearch.java:122-137: seeded shuffle + per-query times."""
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps({"queries": [
+        {"number": "q1", "text": "#combine(def return)"},
+        {"number": "q2", "text": "#combine(value)"},
+    ]}))
+    r = _cli(["batch-search", "--index", cli_index, "--queries", str(qf),
+              "--repeats", "2", "--seed", "7", "--timing", "--cores", "2"])
+    assert r["n_queries"] == 2 and r["repeats"] == 2
+    assert set(r["query_times_sec"]) == {"q1", "q2"}
