@@ -114,27 +114,21 @@ def tagged_postings_stream(whitelist: tuple[str, ...], positions: bool):
             if not rows_doc:
                 continue
             lengths = [len(t) for t in rows_tok]
-            out = pd.DataFrame(
-                {
-                    "doc": np.concatenate(rows_doc),
-                    "term": np.concatenate(rows_tok),
-                }
-            )
+            docs_rep = np.concatenate(rows_doc)
+            terms = np.concatenate(rows_tok)
             if positions:
-                out["pos"] = np.concatenate(
+                from galago_git_spark.functions.tokenize import (
+                    group_positions,
+                )
+
+                pos = np.concatenate(
                     [np.arange(1, n + 1) for n in lengths]
                 )
-                grouped = (
-                    out.groupby(["doc", "term"], sort=False)["pos"]
-                    .agg(["count", list])
-                    .reset_index()
-                )
-                grouped.columns = ["doc", "term", "tf", "positions"]
-                grouped["positions"] = grouped["positions"].map(sorted)
-                yield grouped
+                yield group_positions(docs_rep, terms, pos)
             else:
                 yield (
-                    out.groupby(["doc", "term"], sort=False)
+                    pd.DataFrame({"doc": docs_rep, "term": terms})
+                    .groupby(["doc", "term"], sort=False)
                     .size()
                     .reset_index(name="tf")
                 )

@@ -98,6 +98,27 @@ def tokenize_py(text: str | None) -> list[str]:
 
 # --- fused tokenize + per-doc term frequencies ------------------------------
 
+def group_positions(docs_rep, terms, pos) -> "pd.DataFrame":
+    """Group (doc, term, pos) rows into (doc, term, tf, positions) with
+    one stable lexsort + boundary split (all C-speed) — ~10x faster than
+    groupby().agg(list) (a Python loop per group) at Arrow-batch token
+    counts. Stability keeps each group's positions in original =
+    ascending order, so no re-sort is needed."""
+    import numpy as np
+
+    codes, uniq = pd.factorize(pd.Series(terms), sort=False)
+    order = np.lexsort((codes, docs_rep))
+    sd, sc, sp = docs_rep[order], codes[order], pos[order]
+    change = np.flatnonzero((np.diff(sd) != 0) | (np.diff(sc) != 0)) + 1
+    starts = np.concatenate(([0], change))
+    counts = np.diff(np.concatenate((starts, [len(sp)])))
+    return pd.DataFrame({
+        "doc": sd[starts],
+        "term": uniq[sc[starts]],
+        "tf": counts,
+        "positions": np.split(sp, change),
+    })
+
 def doc_term_freqs_stream(positions: bool):
     """``mapInPandas`` kernel: (doc, content) batches -> (doc, term, tf
     [, positions]) rows, final with no further aggregation — every doc
@@ -120,31 +141,13 @@ def doc_term_freqs_stream(positions: bool):
                 continue
             docs_rep = np.repeat(pdf["doc"].to_numpy(), lengths)
             terms = np.concatenate([t for t in tok_lists if t])
-            out = pd.DataFrame({"doc": docs_rep, "term": terms})
             if positions:
-                # group positions into per-(doc, term) lists with one
-                # stable lexsort + boundary split (all C-speed) instead of
-                # groupby().agg(list) (a Python loop per group, ~10x
-                # slower at Arrow-batch token counts). Stability keeps
-                # each group's positions in original = ascending order.
                 pos = np.concatenate(
                     [np.arange(1, n + 1) for n in lengths[keep]]
                 )
-                codes, uniq = pd.factorize(out["term"], sort=False)
-                order = np.lexsort((codes, docs_rep))
-                sd, sc, sp = docs_rep[order], codes[order], pos[order]
-                change = np.flatnonzero(
-                    (np.diff(sd) != 0) | (np.diff(sc) != 0)
-                ) + 1
-                starts = np.concatenate(([0], change))
-                counts = np.diff(np.concatenate((starts, [len(sp)])))
-                yield pd.DataFrame({
-                    "doc": sd[starts],
-                    "term": uniq[sc[starts]],
-                    "tf": counts,
-                    "positions": np.split(sp, change),
-                })
+                yield group_positions(docs_rep, terms, pos)
             else:
+                out = pd.DataFrame({"doc": docs_rep, "term": terms})
                 g = (
                     out.groupby(["doc", "term"], sort=False)
                     .size()
