@@ -140,24 +140,24 @@ def minhash_coeffs(n_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signatures(
+def _minhash_mins(
     docs: DataFrame,
-    n_hashes: int = 16,
-    shingle_n: int = 3,
-    doc_col: str = "doc_id",
-    text_col: str = "text",
+    n_hashes: int,
+    shingle_n: int,
+    doc_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """(doc, h, minhash): ONE md5 per shingle, then ``n_hashes`` universal
-    hashes ``(a_i * base + b_i) mod P`` — 16x less hashing than md5-per-
+    """(doc, m0..m{n-1}): the per-doc minhash vector as WIDE columns — ONE
+    md5 per shingle, then ``n_hashes`` universal hashes
+    ``(a_i * base + b_i) mod P`` — 16x less hashing than md5-per-
     (hash, shingle), no row explosion: the mins compute as n_hashes
-    aggregate columns in a single groupBy (map-side partial min), then
-    unpivot. At 100 TB the md5 over shingle strings dominated the old
-    plan's cost."""
+    aggregate columns in a single groupBy (map-side partial min). At
+    100 TB the md5 over shingle strings dominated the old plan's cost."""
     sh = shingles(docs, shingle_n, doc_col, text_col).withColumn(
         "base", md5_long(F.col("shingle")) % F.lit(MINHASH_PRIME)
     )
     coeffs = minhash_coeffs(n_hashes)
-    mins = sh.groupBy("doc").agg(
+    return sh.groupBy("doc").agg(
         *[
             F.min(
                 (F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_PRIME)
@@ -165,6 +165,18 @@ def minhash_signatures(
             for i, (a, b) in enumerate(coeffs)
         ]
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, h, minhash): the long-shape view of ``_minhash_mins`` (one
+    unpivot, no extra shuffle)."""
+    mins = _minhash_mins(docs, n_hashes, shingle_n, doc_col, text_col)
     stack_expr = ", ".join(f"{i}, m{i}" for i in range(n_hashes))
     return mins.selectExpr(
         "doc", f"stack({n_hashes}, {stack_expr}) AS (h, minhash)"
@@ -187,24 +199,30 @@ def minhash_lsh_pairs(
     (one giant near-dup cluster): buckets above the cap are dropped — at
     that size the cluster is better handled by exact dedup upstream."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(docs, n_hashes, shingle_n, doc_col, text_col)
-    banded = (
-        sig.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("h", "minhash"))),
-                    lambda s: s.minhash.cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
-        .withColumn(
-            "band_key",
-            F.md5(F.concat_ws(":", F.col("band").cast("string"), "band_sig")),
-        )
+    mins = _minhash_mins(docs, n_hashes, shingle_n, doc_col, text_col)
+    # band keys as per-row expressions off the wide min columns: band b's
+    # signature is m_{b*r}..m_{b*r+r-1} in h order, so no unpivot and no
+    # second aggregation are needed — the only shuffles in the whole plan
+    # are the signature groupBy(doc) and the bucket groupBy(band_key)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(band)),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ),
+                )
+            )
+            for band in range(n_bands)
+        ]
     )
+    banded = mins.select("doc", F.explode(band_keys).alias("band_key"))
     # one pass: bucket docs per band key, expand ordered pairs inside each
     # bucket (buckets are near-dup sized, so the quadratic stays tiny; a
     # band-key self-join would compute the signature plan twice)
@@ -331,6 +349,64 @@ def near_dup_groups(
     )
     edges.unpersist()
     return out
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level repeated-paragraph removal — the paragraph-dedup stage
+    of web-scale training-data pipelines (exact duplicate paragraphs are
+    removed globally, keeping only the first occurrence; documents are
+    rebuilt from their surviving paragraphs in order).
+
+    Returns (doc, n_paras, n_kept, text_clean) for EVERY input doc; docs
+    whose text has no non-empty paragraphs get n_paras=0, text_clean="".
+
+    Scale shape: ONE shuffle on md5(paragraph) (high-cardinality;
+    row_number per hash picks the global first by (doc, idx)) + ONE
+    groupBy(doc) rebuild. A boilerplate paragraph shared by M docs is M
+    rows in one hash partition — linear in M, never the M^2 of a
+    pair-join; the rebuild aggregation is map-side-combinable."""
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(doc_col).alias("doc"), F.col(text_col).alias("text"))
+    paras = (
+        base.select(
+            "doc", F.posexplode(F.split(F.col("text"), sep)).alias("idx", "para")
+        )
+        .filter(F.length("para") > 0)
+        .withColumn("ph", F.md5(F.col("para")))
+    )
+    w = Window.partitionBy("ph").orderBy(F.col("doc").asc(), F.col("idx").asc())
+    flagged = paras.withColumn("rn", F.row_number().over(w))
+    per_doc = flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("idx", "para"))
+                    )
+                ),
+                lambda s: s.para,
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return (
+        base.select("doc")
+        .join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
 
 
 def dedup_filter(

@@ -2383,12 +2383,66 @@ FROM edges e JOIN nm s ON s.doc = e.src
 GROUP BY e.dst"""
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-paragraph removal (the paragraph-dedup stage
+    of web-scale training-data pipelines; operators/dedup.paragraph_dedup:
+    one md5(paragraph) shuffle + one per-doc rebuild, linear in duplicate
+    multiplicity). The synthetic docs are single-line, so each doc is
+    first rendered as deterministic 8-token lines — the oracle renders
+    identically and recomputes keep-first-occurrence from scratch."""
+    base = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+        ),
+    )
+    rendered = base.select(
+        "doc_id",
+        F.when(F.size(toks) > 0, F.array_join(chunks, "\n"))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    return dedup.paragraph_dedup(rendered).orderBy("doc")
+
+
+SQL_PARAGRAPH_DEDUP = """WITH toks AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS terms FROM documents),
+paras AS (
+  SELECT doc, i AS idx, array_to_string(terms[i*8+1 : i*8+8], ' ') AS para
+  FROM toks, UNNEST(range(0, (len(terms)+7)//8)) AS u(i)
+  WHERE len(terms) > 0),
+np AS (SELECT doc, idx, para FROM paras WHERE len(para) > 0),
+flagged AS (
+  SELECT doc, idx, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc, idx) AS rn
+  FROM np),
+per_doc AS (
+  SELECT doc, count(*) AS n_paras,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY idx)
+           AS text_clean
+  FROM flagged GROUP BY doc)
+SELECT d.doc_id AS doc,
+       coalesce(p.n_paras, 0)::bigint AS n_paras,
+       coalesce(p.n_kept, 0)::bigint AS n_kept,
+       coalesce(p.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
+ORDER BY doc"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered newest/least-recently-driver-checked FIRST (VERDICT r3
     item 9: the driver samples from the front, so entries whose last
     verification is oldest — plus everything new or changed this round —
     lead; the long-stable r1/r2 relational entries trail)."""
     return {
+        # --- new in r4 session 4: paragraph dedup; minhash plan changed
+        # --- (band keys off the wide mins — no unpivot/re-agg)
+        "dedup_paragraphs": q_paragraph_dedup,
+        "dedup_minhash_lsh": q_minhash_lsh,
         # --- new in r4 session 3: lifecycle planes graded end-to-end ---
         "fti_merged_index_topk": q_merged_index,
         "fti_incremental_topk": q_incremental_index,
@@ -2411,7 +2465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- judge's local oracle run): ANN / dedup / text / multimodal
         "ann_ivf_part_topk": q_ann_ivf_part_topk,
         "fti_trectext_parse": q_trectext_parse,
-        "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
         "dedup_exact": q_dedup_exact,
         "dedup_embedding_cosine": q_embedding_cosine_pairs,
@@ -2485,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_paragraphs": SQL_PARAGRAPH_DEDUP,
         # lifecycle planes: merge/incremental grade against the PLAIN
         # full-corpus SQL — the machinery must be value-invisible
         "fti_merged_index_topk": _rank_sql(

@@ -254,3 +254,81 @@ def test_near_dup_groups_and_filter(spark):
     )
     kept = {r["doc_id"] for r in dedup_filter(docs, pairs).collect()}
     assert kept == {1, 3, 20, 40, 99}
+
+
+def test_minhash_banded_plan_matches_long_shape_construction(spark):
+    """minhash_lsh_pairs computes band keys as per-row expressions off the
+    wide min columns (no unpivot/re-agg). Pin its pairs to the band keys
+    rebuilt the slow way from the public long-shape signatures — the two
+    constructions must bucket identically."""
+    from galago_git_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different document about spark shuffles and joins",
+        "select name from table where id is not null order by name",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t + " extra"))          # near-dup
+        rows.append((i * 10 + 2, t.replace("the", "a"))) # near-dup-ish
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n_hashes=16, n_bands=4).collect()
+    }
+
+    # reference construction: long shape -> (doc, band) -> h-ordered
+    # signature string -> md5 band key -> in-bucket ordered pairs
+    sig = minhash_signatures(docs, n_hashes=16).collect()
+    per_band: dict[tuple, list] = {}
+    for r in sig:
+        per_band.setdefault((r["doc"], r["h"] // 4), {})[r["h"]] = r["minhash"]
+    import hashlib
+
+    buckets: dict[str, set] = {}
+    for (doc, band), hs in per_band.items():
+        s = ",".join(str(hs[h]) for h in sorted(hs))
+        key = hashlib.md5(f"{band}:{s}".encode()).hexdigest()
+        buckets.setdefault(key, set()).add(doc)
+    slow = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                slow.add((ds[i], ds[j]))
+    assert fast == slow and fast, "banded plan diverged from long-shape"
+
+
+def test_paragraph_dedup_keeps_global_first_occurrence(spark):
+    """Repeated paragraphs keep only the smallest (doc, idx) occurrence;
+    unique paragraphs always survive; paragraph order inside a doc is
+    preserved in the rebuilt text; empty docs come back (0, 0, "")."""
+    from galago_git_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon footer\ngamma"),
+            (2, "common footer\ndelta"),
+            (3, "delta\ndelta"),   # intra-doc repeat: 2nd drops too
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc"]: r for r in paragraph_dedup(docs).collect()}
+    assert rows[1]["text_clean"] == "alpha beta\ncommon footer\ngamma"
+    assert (rows[1]["n_paras"], rows[1]["n_kept"]) == (3, 3)
+    # doc 2's "common footer" lost to doc 1; "delta" is first here
+    assert rows[2]["text_clean"] == "delta"
+    assert (rows[2]["n_paras"], rows[2]["n_kept"]) == (2, 1)
+    # doc 3: both paragraphs are "delta", already kept by doc 2
+    assert rows[3]["text_clean"] == ""
+    assert (rows[3]["n_paras"], rows[3]["n_kept"]) == (2, 0)
+    assert (rows[4]["n_paras"], rows[4]["n_kept"], rows[4]["text_clean"]) == (
+        0, 0, "",
+    )
