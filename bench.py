@@ -281,7 +281,12 @@ def main() -> None:
 
         # 3. training-data operators straight off the driver tables
         reg = dq.queries()
-        for name in ("dedup_minhash_lsh", "ann_cosine_topk", "text_token_counts"):
+        for name in (
+            "dedup_minhash_lsh",
+            "dedup_paragraphs",
+            "ann_cosine_topk",
+            "text_token_counts",
+        ):
             if name in reg:
                 timed3(name, lambda name=name: reg[name](spark, sf_dir).collect())
 

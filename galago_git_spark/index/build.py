@@ -61,6 +61,7 @@ def assign_doc_ids(
     docs: DataFrame,
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     num_partitions: int | None = None,
+    broadcast_max_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Deterministic dense doc ids: global rank over ``key_cols``.
 
@@ -70,6 +71,14 @@ def assign_doc_ids(
     within-partition rank``. The offsets pass collects one count per
     partition (P rows) — O(P) driver work, no global window, so the same
     ids come out at any cluster size (the north-rule requirement).
+
+    The id join back onto the wide rows BROADCASTS the slim id table when
+    the corpus (known exactly from the offsets pass) has at most
+    ``broadcast_max_rows`` docs: every downstream part writer then streams
+    the corpus once instead of shuffle-sorting it by the string key per
+    part — the ids join was the widest repeated shuffle in the build. Past
+    the threshold (or with ``None``) it stays a shuffle join: a 10^12-row
+    id table cannot broadcast.
     """
     spark = docs.sparkSession
     if num_partitions is None:
@@ -118,6 +127,8 @@ def assign_doc_ids(
         .withColumn("doc", F.col("_offset") + F.row_number().over(w) - 1)
         .drop("_pid", "_offset")
     )
+    if broadcast_max_rows is not None and running <= broadcast_max_rows:
+        slim_ids = F.broadcast(slim_ids)
     return docs.join(slim_ids, list(key_cols))
 
 
@@ -290,13 +301,24 @@ def build_index(
         else:
             postings = doc_term_freqs(numbered, positions=positions)
         cols = ["term", "doc", "tf"] + (["positions"] if positions else [])
-        (
-            postings.select(*cols)
-            .repartitionByRange(num_term_partitions, "term", "doc")
-            .sortWithinPartitions("term", "doc")
-            .write.mode("overwrite")
-            .parquet(postings_path)
-        )
+        # persist the SKINNY posting stream before the range write:
+        # repartitionByRange's bound-sampling pass executes its child in
+        # full, so without the cache the tokenize kernel (the most
+        # expensive stage of the whole build) runs twice — once to sample
+        # term bounds, once for real. The cache holds (term, doc, tf)
+        # rows, not the corpus; at cluster scale this is the same
+        # materialize-sorted-runs tradeoff Galago's tupleflow sorter
+        # makes on disk (Sorter.java flush runs).
+        pframe = postings.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                pframe.repartitionByRange(num_term_partitions, "term", "doc")
+                .sortWithinPartitions("term", "doc")
+                .write.mode("overwrite")
+                .parquet(postings_path)
+            )
+        finally:
+            pframe.unpersist()
         record("postings", postings_path, t0)
 
     # extents part: line-structural field spans (NumberedExtentExtractor /
@@ -533,6 +555,9 @@ def build_index(
             spark.read.parquet(postings_path)
             .groupBy("doc")
             .agg(F.sum("tf").cast("int").alias("length"))
+            # one postings scan, not two: the cl aggregate below
+            # materializes the cache the pack's broadcast join then reads
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_docs = sum(r["rows"] for r in manifest["parts"]["names"]["lineage"])
         cl = post_lengths.agg(F.sum("length")).collect()[0][0] or 0
@@ -544,7 +569,11 @@ def build_index(
             num_partitions=num_term_partitions,
             lengths=post_lengths,
             avgdl=cl / max(n_docs, 1),
+            # the postings part just written has the sorted layout
+            # (write_postings above) — zero-shuffle pack
+            presorted=True,
         )
+        post_lengths.unpersist()
 
     # stemmed postings + termstats parts (BuildIndex.java:139-161 stemmed
     # stages) — derived from the raw postings parquet, so they join wave 2
@@ -632,6 +661,8 @@ def build_index(
                 os.path.join(index_dir, f"postings.{stemmer}")
             ),
             out=f"blocks.{stemmer}",
+            # write_stemmed lays the part out sorted, like write_postings
+            presorted=True,
         )
 
     # the packed thread merges its entry straight into the on-disk

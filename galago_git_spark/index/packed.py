@@ -175,6 +175,7 @@ def build_packed(
     avgdl: float | None = None,
     postings: DataFrame | None = None,
     out: str = "blocks",
+    presorted: bool = False,
 ) -> dict:
     """Build a block layer from a relational postings table.
 
@@ -193,6 +194,24 @@ def build_packed(
     fused wave passes a postings-derived lengths frame) so the pack job
     does not have to wait for the lengths/stats parts — blocks then build
     CONCURRENTLY with them.
+
+    ``presorted=True`` is the ZERO-SHUFFLE pack for postings that came
+    from one of our part writers (build.py / index/window.py always lay
+    parts out ``repartitionByRange(term, doc).sortWithinPartitions``):
+    ``bucket = doc >> bucket_bits`` is monotone in doc within a term, so
+    every scan task already streams (term, bucket, doc)-sorted runs with
+    globally disjoint doc ranges per term. The plan becomes scan →
+    broadcast-join(lengths) → within-partition sort → encode: no range
+    shuffle, no sampling pass (repartitionByRange re-executes its child
+    to sample bounds), no exchange at all; the within-partition sort is
+    a TimSort over nearly-sorted runs (it only repairs the case where
+    Spark bin-packs non-adjacent file chunks into one task out of range
+    order — a (term,bucket) group concatenated out of doc order would
+    otherwise break the d-gap encode). A group split across tasks just
+    yields an extra, smaller block — the WAND kernel treats blocks as
+    independent (first_doc,last_doc) intervals and orders them itself.
+    The lengths broadcast is n_docs rows — fine into the billions of
+    docs; at extreme doc counts keep ``presorted=False`` (shuffle join).
     """
     manifest_key = out
     manifest_path_early = os.path.join(index_dir, "manifest.json")
@@ -222,22 +241,28 @@ def build_packed(
         F.col("tf") + k * (1 - b + b * F.col("length") / F.lit(avgdl))
     )
     enriched = (
-        postings.join(lengths, "doc")
+        postings.join(F.broadcast(lengths) if presorted else lengths, "doc")
         .withColumn("bucket", F.shiftright(F.col("doc"), bucket_bits).cast("long"))
         .withColumn("tfn", tfn)
         .select("term", "bucket", "doc", "tf", "tfn",
                 *(["positions"] if has_positions else []))
     )
-    # ONE range shuffle keyed (term, bucket, doc): the encode stream sees
-    # each (term, bucket) group contiguously (a group split at a range
-    # boundary just yields an extra, smaller block — doc ranges stay
-    # disjoint), and the encoded blocks come out globally range-ordered,
-    # so they write directly — no second shuffle of the block rows.
-    blocks = (
-        enriched.repartitionByRange(num_partitions, "term", "bucket", "doc")
-        .sortWithinPartitions("term", "bucket", "doc")
-        .mapInPandas(_pack_stream(block_size), schema=BLOCKS_SCHEMA)
-    )
+    if presorted:
+        # zero-shuffle: scan order IS (term, bucket, doc) order per file
+        # chunk (see docstring); the exchange-free sort repairs chunk
+        # concatenation order inside a task and costs one merge pass
+        stream = enriched.sortWithinPartitions("term", "bucket", "doc")
+    else:
+        # ONE range shuffle keyed (term, bucket, doc): the encode stream
+        # sees each (term, bucket) group contiguously (a group split at a
+        # range boundary just yields an extra, smaller block — doc ranges
+        # stay disjoint), and the encoded blocks come out globally
+        # range-ordered, so they write directly — no second shuffle of
+        # the block rows.
+        stream = enriched.repartitionByRange(
+            num_partitions, "term", "bucket", "doc"
+        ).sortWithinPartitions("term", "bucket", "doc")
+    blocks = stream.mapInPandas(_pack_stream(block_size), schema=BLOCKS_SCHEMA)
     blocks_path = os.path.join(index_dir, out)
     blocks.write.mode("overwrite").parquet(blocks_path)
 
@@ -310,6 +335,9 @@ def pack_window_parts(
             resume=resume,
             postings=spark.read.parquet(post_dir),
             out=f"{name}/blocks",
+            # window parts share the part writers' sorted layout
+            # (index/window.py:204-205) — zero-shuffle pack applies
+            presorted=True,
         )
         packed.append(name)
     return packed

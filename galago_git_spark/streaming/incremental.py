@@ -153,7 +153,8 @@ class IncrementalIndexer:
         if packed:
             from galago_git_spark.index.packed import build_packed
 
-            build_packed(self.spark, out, resume=True)
+            # shard postings come from build_index's sorted part writer
+            build_packed(self.spark, out, resume=True, presorted=True)
         return out
 
     # --- query view -------------------------------------------------------

@@ -363,3 +363,37 @@ def test_sdm_parts_wand_no_position_payloads(spark, packed_parts_index):
             spark, packed_parts_index, ["def", "return"], k=5
         ).explain("formatted")
     assert "pos:binary" not in buf.getvalue()
+
+
+def test_presorted_pack_value_identical_to_shuffle_pack(spark, packed_index):
+    """The zero-shuffle pack (presorted=True: scan -> broadcast-join ->
+    within-partition sort -> encode, no exchange) must decode to exactly
+    the postings the range-shuffle pack encodes. Block boundaries may
+    differ (they follow task layout), so compare the DECODED streams and
+    the per-block invariants, then the WAND results end-to-end."""
+    from pyspark.sql import functions as F
+
+    build_packed(
+        spark, packed_index, block_size=32, bucket_bits=7,
+        out="blocks_presorted", presorted=True,
+    )
+    postings = spark.read.parquet(f"{packed_index}/postings")
+
+    def decoded(part):
+        out = []
+        for r in read_blocks(spark, packed_index, part=part).collect():
+            d = decode_doc_block(bytes(r["docs"]))
+            t = vbyte_decode(bytes(r["tfs"]))
+            assert len(d) == r["n"] == len(t)
+            assert d[0] == r["first_doc"] and d[-1] == r["last_doc"]
+            assert (np.diff(d.astype(np.int64)) > 0).all()
+            assert int(t.max()) == r["max_tf"]
+            out.extend(zip([r["term"]] * len(d), d.tolist(), t.tolist()))
+        return sorted(out)
+
+    a = decoded("blocks")
+    b = decoded("blocks_presorted")
+    assert a == b
+    assert len(a) == postings.count()
+    # the CLI/fused build now produces its default "blocks" layer through
+    # the presorted path, so the whole WAND suite exercises it end-to-end
