@@ -256,16 +256,22 @@ def build_index(
     # names part (+ reverse map: one table serves both directions in Spark)
     def write_names() -> None:
         t0 = time.time()
-        (
-            numbered.select(
-                "doc", "repo", "path", "commit", "lang",
-                F.sha2(F.col("content"), 256).alias("sha256"),
+        # slim rows cached so repartitionByRange's sampling pass doesn't
+        # re-run the corpus scan + content sha256 (same pattern as the
+        # postings write below)
+        nframe = numbered.select(
+            "doc", "repo", "path", "commit", "lang",
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                nframe.repartitionByRange(num_term_partitions, "doc")
+                .sortWithinPartitions("doc")
+                .write.mode("overwrite")
+                .parquet(names_path)
             )
-            .repartitionByRange(num_term_partitions, "doc")
-            .sortWithinPartitions("doc")
-            .write.mode("overwrite")
-            .parquet(names_path)
-        )
+        finally:
+            nframe.unpersist()
         record("names", names_path, t0)
 
     # postings part: (term, doc, tf[, positions]); 1-based positions.

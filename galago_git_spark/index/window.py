@@ -191,21 +191,34 @@ def _write_window_part(
     t0: float,
 ) -> str:
     part_dir = os.path.join(index_dir, part)
-    if frequency_threshold > 1:
-        keep = (
-            grams.groupBy("term")
-            .agg(F.sum("tf").alias("cf"))
-            .filter(F.col("cf") >= frequency_threshold)
-            .select("term")
-        )
-        grams = grams.join(keep, "term", "left_semi")
-    (
-        grams.select("term", "doc", "tf")
-        .repartitionByRange(num_partitions, "term", "doc")
-        .sortWithinPartitions("term", "doc")
-        .write.mode("overwrite")
-        .parquet(os.path.join(part_dir, "postings"))
+    # persist the skinny gram stream: the window-extraction kernel is the
+    # expensive stage, and without the cache it re-runs for the
+    # frequency-threshold aggregate AND for repartitionByRange's
+    # bound-sampling pass (each executes the child plan in full)
+    from pyspark.storagelevel import StorageLevel
+
+    grams = grams.select("term", "doc", "tf").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        if frequency_threshold > 1:
+            keep = (
+                grams.groupBy("term")
+                .agg(F.sum("tf").alias("cf"))
+                .filter(F.col("cf") >= frequency_threshold)
+                .select("term")
+            )
+            out = grams.join(keep, "term", "left_semi")
+        else:
+            out = grams
+        (
+            out.repartitionByRange(num_partitions, "term", "doc")
+            .sortWithinPartitions("term", "doc")
+            .write.mode("overwrite")
+            .parquet(os.path.join(part_dir, "postings"))
+        )
+    finally:
+        grams.unpersist()
     (
         spark.read.parquet(os.path.join(part_dir, "postings"))
         .groupBy("term")
