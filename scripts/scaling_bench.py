@@ -299,6 +299,10 @@ def main() -> int:
         (bchi / bclo) / ratio, 4
     )
     results["build_counts_speedup"] = round(bchi / bclo, 3)
+    dlo = results["levels"][lo]["batch_search_daat"]["queries_per_sec"]
+    dhi = results["levels"][hi]["batch_search_daat"]["queries_per_sec"]
+    results["query_daat_scaling_efficiency"] = round((dhi / dlo) / ratio, 4)
+    results["query_daat_speedup"] = round(dhi / dlo, 3)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
