@@ -2124,7 +2124,10 @@ def q_conflation_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ConflationExtractor.java:29-38): each porter2 stem mapped to the
     sorted distinct surface forms observed in the corpus — the same plan
     ``index.build.build_conflation_part`` persists (one column-pruned
-    vocabulary projection + one vocab-sized groupBy)."""
+    vocabulary projection + one vocab-sized groupBy). The surface-form
+    list is flattened to a space-joined string for the harness: the
+    driver's canonicalizer lexsorts the pandas frame, and array columns
+    are unhashable there (VERDICT r4 item 1)."""
     from galago_git_spark.functions.stem import stem_pandas
 
     idx = inline_index(_docs(spark, sf_dir))
@@ -2133,12 +2136,14 @@ def q_conflation_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.withColumn("stem", stem_pandas(F.col("term"), "porter2"))
         .where(F.col("stem").isNotNull())
         .groupBy("stem")
-        .agg(F.sort_array(F.collect_set("term")).alias("terms"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("term")), " ").alias("terms")
+        )
     )
 
 
 SQL_CONFLATION = f"""WITH {_sql_stem_vocab()}
-SELECT stem, list_sort(list(DISTINCT term)) AS terms
+SELECT stem, array_to_string(list_sort(list(DISTINCT term)), ' ') AS terms
 FROM stemmed GROUP BY stem"""
 
 
@@ -2356,7 +2361,12 @@ def q_link_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     names = rendered.select(F.col("doc_id").alias("doc"), "repo", "path")
     links = extract_links(rendered)
-    return anchor_counts(links, names)
+    # Flatten the anchors array for the harness: the driver canonicalizer
+    # lexsorts the pandas frame and list columns are unhashable there
+    # (VERDICT r4 item 1). Engine-side anchor_counts keeps the array.
+    return anchor_counts(links, names).withColumn(
+        "anchors", F.array_join("anchors", " ")
+    )
 
 
 SQL_LINK_ANCHORS = f"""WITH {TOKS},
@@ -2378,7 +2388,7 @@ edges AS (
   JOIN nm s ON s.doc = r.doc
   JOIN nm t ON t.module = r.ref AND t.repo = s.repo AND t.doc <> r.doc)
 SELECT e.dst AS dst_doc, count(*) AS in_degree,
-       list_sort(list(DISTINCT s.path)) AS anchors
+       array_to_string(list_sort(list(DISTINCT s.path)), ' ') AS anchors
 FROM edges e JOIN nm s ON s.doc = e.src
 GROUP BY e.dst"""
 
@@ -2439,6 +2449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verification is oldest — plus everything new or changed this round —
     lead; the long-stable r1/r2 relational entries trail)."""
     return {
+        # --- changed in r5: the two r4-red entries, outputs flattened to
+        # --- scalar columns for the driver canonicalizer (VERDICT r4 #1)
+        "graph_link_anchors": q_link_anchors,
+        "fti_conflation_part": q_conflation_part,
         # --- new in r4 session 4: paragraph dedup; minhash plan changed
         # --- (band keys off the wide mins — no unpivot/re-agg)
         "dedup_paragraphs": q_paragraph_dedup,
@@ -2448,11 +2462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_incremental_topk": q_incremental_index,
         "fti_indicator_filter": q_indicator_filter,
         "fti_log_topk": q_log_score,
-        "graph_link_anchors": q_link_anchors,
         # --- new in r4 (stemmer, working set, tag fields, bil2) + the
         # --- two entries whose implementation CHANGED in r4 (part-backed
         # --- #sdm WAND; skew-guarded jaccard)
-        "fti_conflation_part": q_conflation_part,
         "fti_stemmed_postings": q_stemmed_postings,
         "fti_stemmed_topk": q_stemmed_topk,
         "fti_working_set": q_working_set,

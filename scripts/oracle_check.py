@@ -18,6 +18,7 @@ import os
 import sys
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,12 +29,48 @@ TABLES = (
 ).split()
 
 
+_NON_SCALAR_SPARK = {"array", "map", "struct"}
+
+
+def lint_scalar_output(spark_schema=None, rows=None, cols=None, side=""):
+    """Reject non-scalar (array/map/struct/list) output columns.
+
+    The driver's canonicalizer lexsorts the result with pandas, and list
+    values are unhashable there (``TypeError: unhashable type: 'list'`` —
+    see CORRECTNESS_r04 graph_link_anchors). Failing here keeps the local
+    gate predictive of the driver gate: entries must emit scalar columns
+    only (flatten arrays with array_join / array_to_string).
+    """
+    bad = []
+    if spark_schema is not None:
+        bad = [
+            f.name
+            for f in spark_schema.fields
+            if f.dataType.typeName() in _NON_SCALAR_SPARK
+        ]
+    elif rows:
+        for i, c in enumerate(cols):
+            for row in rows[:50]:
+                if isinstance(row[i], (list, dict, set, tuple)):
+                    bad.append(c)
+                    break
+    if bad:
+        raise TypeError(
+            f"non-scalar {side} output column(s) {bad}: the driver's pandas "
+            "lexsort canonicalizer cannot hash list/map/struct values — "
+            "flatten with array_join(...) / array_to_string(...)"
+        )
+
+
 def value_hash(rows, cols):
+    """Canonical value hash, mirroring the driver: columns sorted by name,
+    floats rounded to 6 decimals, rows lexsorted with pandas (so a list
+    column fails here exactly the way it fails in the driver)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = []
-    for row in rows:
-        vals = []
-        for i in order:
+    data = {}
+    for pos, i in enumerate(order):
+        col = []
+        for row in rows:
             v = row[i]
             if isinstance(v, decimal.Decimal):
                 v = float(v)
@@ -41,9 +78,12 @@ def value_hash(rows, cols):
                 v = round(v, 6)
                 if v == 0:
                     v = 0.0
-            vals.append(repr(v))
-        canon.append("|".join(vals))
-    canon.sort()
+            col.append(v)
+        data[f"c{pos}"] = col
+    pdf = pd.DataFrame(data)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    canon = ["|".join(repr(v) for v in row) for row in pdf.itertuples(index=False)]
     return hashlib.md5("\n".join(canon).encode()).hexdigest()
 
 
@@ -70,6 +110,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            lint_scalar_output(spark_schema=sdf.schema, side="spark")
             srows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(srows)
             if name not in oracles:
@@ -79,6 +120,7 @@ def main() -> int:
                 cur = con.execute(oracles[name])
                 ocols = [d[0] for d in cur.description]
                 orows = [tuple(r) for r in cur.fetchall()]
+                lint_scalar_output(rows=orows, cols=ocols, side="oracle")
                 rec["oracle_rows"] = len(orows)
                 rec["rows_match"] = len(srows) == len(orows)
                 rec["schema_match"] = sorted(scols) == sorted(ocols)

@@ -59,11 +59,63 @@ def test_all_queries_have_oracles():
     assert not missing, f"rows-only (no oracle): {missing}"
 
 
+def _lint_scalar(name, schema):
+    """Driver-gate compatibility: the driver canonicalizes results with a
+    pandas lexsort, which cannot hash list/map/struct cells (CORRECTNESS_r04
+    graph_link_anchors / fti_conflation_part). Every registry entry must
+    therefore emit scalar columns only."""
+    bad = [
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output column(s) {bad} — the driver's pandas "
+        "canonicalizer rejects these; flatten with F.array_join(...)"
+    )
+
+
+def test_lint_rejects_list_columns():
+    """The local gate's lint must reject a list-column frame (VERDICT r4
+    item 2's unit-test requirement), on both the Spark-schema path and the
+    oracle-rows path."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_check",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "oracle_check.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc", LongType()),
+            StructField("anchors", ArrayType(StringType())),
+        ]
+    )
+    with pytest.raises(TypeError, match="non-scalar"):
+        mod.lint_scalar_output(spark_schema=schema, side="spark")
+    with pytest.raises(TypeError, match="non-scalar"):
+        mod.lint_scalar_output(
+            rows=[(1, ["a", "b"])], cols=["doc", "anchors"], side="oracle"
+        )
+    # scalar frames pass both paths
+    scalar = StructType([StructField("doc", LongType())])
+    mod.lint_scalar_output(spark_schema=scalar, side="spark")
+    mod.lint_scalar_output(rows=[(1, "a b")], cols=["doc", "anchors"], side="oracle")
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
     sdf = q(spark, SF_DIR)
+    _lint_scalar(name, sdf.schema)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if sql is None:
