@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -86,7 +87,9 @@ def main() -> None:
             out = fn()
             ts.append(round(time.perf_counter() - t0, 4))
         runs[name] = ts
-        timings[name] = sorted(ts)[len(ts) // 2]
+        # statistics.median, not sorted(ts)[n//2]: the latter is the
+        # upper-middle element for even N (biased up under steal spikes)
+        timings[name] = round(statistics.median(ts), 4)
         return out
 
     def cpu_burn() -> float:

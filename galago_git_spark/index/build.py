@@ -307,14 +307,18 @@ def build_index(
         else:
             postings = doc_term_freqs(numbered, positions=positions)
         cols = ["term", "doc", "tf"] + (["positions"] if positions else [])
-        # persist the SKINNY posting stream before the range write:
+        # persist the posting stream before the range write:
         # repartitionByRange's bound-sampling pass executes its child in
         # full, so without the cache the tokenize kernel (the most
         # expensive stage of the whole build) runs twice — once to sample
-        # term bounds, once for real. The cache holds (term, doc, tf)
-        # rows, not the corpus; at cluster scale this is the same
+        # term bounds, once for real. With positions=True the cache is
+        # NOT skinny — the positions arrays dominate the part's volume
+        # (comparable to the tokenized corpus itself), which is why the
+        # level is MEMORY_AND_DISK: position payloads spill rather than
+        # evict-and-recompute. At cluster scale this is the same
         # materialize-sorted-runs tradeoff Galago's tupleflow sorter
-        # makes on disk (Sorter.java flush runs).
+        # makes on disk (Sorter.java flush runs) — transient storage of
+        # roughly one extra copy of the biggest part.
         pframe = postings.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             (
@@ -576,8 +580,10 @@ def build_index(
             lengths=post_lengths,
             avgdl=cl / max(n_docs, 1),
             # the postings part just written has the sorted layout
-            # (write_postings above) — zero-shuffle pack
+            # (write_postings above) — zero-shuffle pack; n_docs feeds the
+            # lengths-broadcast size guard without an extra stats read
             presorted=True,
+            n_docs=n_docs,
         )
         post_lengths.unpersist()
 

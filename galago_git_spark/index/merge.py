@@ -67,7 +67,15 @@ def merge_indexes(
         .parquet(os.path.join(out_dir, "names"))
     )
 
-    # 2. remap postings and lengths
+    # 2. remap postings and lengths.
+    # LAYOUT CONTRACT: remap("postings", ["term", "doc"]) must keep the
+    # repartitionByRange(term, doc) + sortWithinPartitions(term, doc)
+    # layout the batch part writers use (build.py write_postings,
+    # index/window.py) — packed.build_packed(presorted=True) reads merged
+    # postings under that assumption (zero-shuffle pack; exercised by
+    # IncrementalIndexer.compact -> build_packed(presorted=True) and
+    # asserted in tests/test_merge_incremental.py::
+    # test_merged_postings_layout).
     def remap(part: str, sort_cols: list[str]) -> None:
         dfs = []
         cols = _read_part(spark, index_dirs[0], part).columns

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -176,6 +177,8 @@ def build_packed(
     postings: DataFrame | None = None,
     out: str = "blocks",
     presorted: bool = False,
+    n_docs: int | None = None,
+    broadcast_max_docs: int = 100_000_000,
 ) -> dict:
     """Build a block layer from a relational postings table.
 
@@ -210,8 +213,15 @@ def build_packed(
     otherwise break the d-gap encode). A group split across tasks just
     yields an extra, smaller block — the WAND kernel treats blocks as
     independent (first_doc,last_doc) intervals and orders them itself.
-    The lengths broadcast is n_docs rows — fine into the billions of
-    docs; at extreme doc counts keep ``presorted=False`` (shuffle join).
+
+    The presorted path broadcasts the (doc, length) table to every task.
+    Spark hard-caps broadcasts at 8 GB, so the zero-shuffle pack only
+    holds while that table fits: beyond ``broadcast_max_docs`` rows
+    (default 100M ≈ 1.6 GB of two longs, well under the cap) the build
+    automatically falls back to ``presorted=False`` — one range shuffle,
+    sort-merge lengths join, correct at any doc count. ``n_docs`` lets
+    callers that already know the count (build_index's fused wave) skip
+    the stats read / lengths count used to evaluate the guard.
     """
     manifest_key = out
     manifest_path_early = os.path.join(index_dir, "manifest.json")
@@ -232,9 +242,31 @@ def build_packed(
     postings = postings.select(*cols)
     if lengths is None:
         lengths = spark.read.parquet(os.path.join(index_dir, "lengths"))
-    if avgdl is None:
-        stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
-        avgdl = stats["collection_length"] / stats["document_count"]
+    if avgdl is None or (presorted and n_docs is None):
+        try:
+            stats = spark.read.parquet(
+                os.path.join(index_dir, "stats")
+            ).collect()[0]
+            if avgdl is None:
+                avgdl = stats["collection_length"] / stats["document_count"]
+            if n_docs is None:
+                n_docs = int(stats["document_count"])
+        except Exception:
+            if n_docs is None:
+                n_docs = lengths.count()
+            if avgdl is None:
+                raise
+    if presorted and n_docs is not None and n_docs > broadcast_max_docs:
+        # the zero-shuffle path's lengths broadcast would exceed what the
+        # executors (and Spark's 8 GB broadcast cap) can hold — take the
+        # range-shuffle path, which is correct at any doc count
+        warnings.warn(
+            f"build_packed: {n_docs} docs exceeds broadcast_max_docs="
+            f"{broadcast_max_docs}; falling back to the shuffle pack "
+            "(presorted=False)",
+            stacklevel=2,
+        )
+        presorted = False
 
     k, b = BM25_K, BM25_B
     tfn = (F.col("tf") * (k + 1)) / (

@@ -369,13 +369,22 @@ def paragraph_dedup(
     row_number per hash picks the global first by (doc, idx)) + ONE
     groupBy(doc) rebuild. A boilerplate paragraph shared by M docs is M
     rows in one hash partition — linear in M, never the M^2 of a
-    pair-join; the rebuild aggregation is map-side-combinable."""
+    pair-join; the rebuild aggregation is map-side-combinable.
+
+    ``sep`` is a LITERAL separator, not a regex: it is \\Q-quoted for the
+    split (F.split takes a Java regex) and used verbatim as the joiner,
+    so regex-special separators like ``.`` or ``|`` split and rebuild
+    consistently."""
     from pyspark.sql import Window
 
+    # java.util.regex.Pattern.quote: wrap in \Q...\E, re-opening around
+    # any literal \E occurrence inside the separator itself
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     base = docs.select(F.col(doc_col).alias("doc"), F.col(text_col).alias("text"))
     paras = (
         base.select(
-            "doc", F.posexplode(F.split(F.col("text"), sep)).alias("idx", "para")
+            "doc",
+            F.posexplode(F.split(F.col("text"), sep_rx)).alias("idx", "para"),
         )
         .filter(F.length("para") > 0)
         .withColumn("ph", F.md5(F.col("para")))

@@ -154,6 +154,11 @@ class IncrementalIndexer:
             from galago_git_spark.index.packed import build_packed
 
             # shard postings come from build_index's sorted part writer
+            # OR, after a multi-shard compact, from merge_indexes.remap —
+            # both write the repartitionByRange(term, doc) +
+            # sortWithinPartitions(term, doc) layout the zero-shuffle
+            # pack requires (contract noted in merge.py and asserted by
+            # tests/test_merge_incremental.py::test_merged_postings_layout)
             build_packed(self.spark, out, resume=True, presorted=True)
         return out
 

@@ -171,3 +171,38 @@ def test_compact_packed_serves_wand(spark, tmp_path):
     wand = wand_topk(spark, shard, ["def", "get_load0"], k=10).collect()
     assert [r["doc"] for r in wand] == [r["doc"] for r in brute]
     corpus.unpersist()
+
+
+def test_merged_postings_layout(spark, corpus, tmp_path):
+    """merge_indexes.remap must preserve the part writers' sorted layout
+    — repartitionByRange(term, doc) + sortWithinPartitions(term, doc) —
+    because build_packed(presorted=True) (IncrementalIndexer.compact's
+    packed path) streams merged postings with ZERO shuffle under exactly
+    that assumption: every parquet file is internally (term, doc)-sorted
+    and files cover disjoint term ranges."""
+    import glob
+
+    half_a = corpus.filter(F.crc32(F.col("path")) % 2 == 0)
+    half_b = corpus.filter(F.crc32(F.col("path")) % 2 == 1)
+    build_index(half_a, str(tmp_path / "a"), positions=False)
+    build_index(half_b, str(tmp_path / "b"), positions=False)
+    merge_indexes(
+        spark, [str(tmp_path / "a"), str(tmp_path / "b")], str(tmp_path / "m")
+    )
+
+    files = sorted(glob.glob(str(tmp_path / "m" / "postings" / "*.parquet")))
+    assert files
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        t = pq.read_table(f, columns=["term", "doc"])
+        if t.num_rows == 0:
+            continue
+        keys = list(zip(t.column("term").to_pylist(), t.column("doc").to_pylist()))
+        assert keys == sorted(keys), f"{f} not (term, doc)-sorted within file"
+        spans.append((keys[0], keys[-1]))
+    # range partitioning: files' key spans are non-overlapping in order
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, "file key ranges overlap — range layout broken"

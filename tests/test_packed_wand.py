@@ -397,3 +397,41 @@ def test_presorted_pack_value_identical_to_shuffle_pack(spark, packed_index):
     assert len(a) == postings.count()
     # the CLI/fused build now produces its default "blocks" layer through
     # the presorted path, so the whole WAND suite exercises it end-to-end
+
+
+def test_presorted_broadcast_guard_falls_back(spark, tmp_path):
+    """presorted=True must not broadcast an over-large lengths table:
+    beyond broadcast_max_docs the pack falls back to the shuffle path
+    (warning emitted) and still produces an identical block layer."""
+    import warnings as _w
+
+    from pyspark.sql import functions as F
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    corpus = synthetic_code_corpus(spark, n_docs=120, seed=7)
+    build_index(corpus, a, positions=False, packed=False)
+    build_index(corpus, b, positions=False, packed=False)
+    build_packed(spark, a, block_size=32, bucket_bits=7, presorted=True)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        build_packed(
+            spark, b, block_size=32, bucket_bits=7, presorted=True,
+            broadcast_max_docs=10,
+        )
+    assert any("broadcast_max_docs" in str(c.message) for c in caught)
+
+    # block boundaries may legally differ between the two paths (a group
+    # split across presorted tasks yields extra, smaller blocks) — the
+    # DECODED postings must be identical
+    def decoded(d):
+        out = []
+        for r in read_blocks(spark, d).collect():
+            docs = decode_doc_block(bytes(r["docs"]))
+            tfs = vbyte_decode(bytes(r["tfs"]))
+            out.extend(
+                (r["term"], int(dc), int(tf)) for dc, tf in zip(docs, tfs)
+            )
+        return sorted(out)
+
+    assert decoded(a) == decoded(b)

@@ -332,3 +332,20 @@ def test_paragraph_dedup_keeps_global_first_occurrence(spark):
     assert (rows[4]["n_paras"], rows[4]["n_kept"], rows[4]["text_clean"]) == (
         0, 0, "",
     )
+
+
+def test_paragraph_dedup_regex_special_separator(spark):
+    """sep is a LITERAL, not a regex: '.' must split on dots only (an
+    unquoted '.' regex would split between every character) and rebuild
+    with the same dot."""
+    from galago_git_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta.common tail.gamma"), (2, "common tail.delta")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc"]: r for r in paragraph_dedup(docs, sep=".").collect()}
+    assert rows[1]["text_clean"] == "alpha beta.common tail.gamma"
+    assert (rows[1]["n_paras"], rows[1]["n_kept"]) == (3, 3)
+    assert rows[2]["text_clean"] == "delta"
+    assert (rows[2]["n_paras"], rows[2]["n_kept"]) == (2, 1)
