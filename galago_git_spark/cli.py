@@ -456,6 +456,7 @@ def cmd_build_window(args: argparse.Namespace) -> dict:
         part_dir = build_unordered_window_postings(
             numbered, args.index, width=args.width, n=args.n,
             frequency_threshold=args.threshold,
+            max_doc_candidates=args.max_doc_candidates,
         )
     else:
         part_dir = build_window_postings(
@@ -1572,6 +1573,11 @@ def main(argv: list[str] | None = None) -> int:
                          "tier; requires the index's main packed layer")
     bw.add_argument("--threshold", type=int, default=0,
                     help="drop windows with collection frequency below this")
+    bw.add_argument("--max-doc-candidates", type=int, default=None,
+                    help="n>=3 unordered builds only: per-doc candidate-"
+                         "tuple cap (the kernel raises if exceeded). One "
+                         "of --threshold/--max-doc-candidates is REQUIRED "
+                         "for n>=3 — the build is combinatorial")
     bw.add_argument("--seed", type=int, default=42)
     bw.add_argument("--cores", type=int, default=8)
     bw.add_argument("--id-col", default=None,

@@ -112,7 +112,7 @@ def _uw_pair_stream(width: int):
     return fn
 
 
-def _uw_tuple_stream(width: int, n: int):
+def _uw_tuple_stream(width: int, n: int, max_doc_candidates: int | None = None):
     """mapInPandas kernel for n>=3: per doc, exact ``#uw:width`` counts for
     every sorted n-tuple of distinct terms, computed by running the SAME
     n-ary merge loop the query side uses
@@ -163,6 +163,19 @@ def _uw_tuple_stream(width: int, n: int):
                     anchor = toks[i]
                     for combo in combinations(others, n - 1):
                         cands.add(tuple(sorted((anchor,) + combo)))
+                    if (
+                        max_doc_candidates is not None
+                        and len(cands) > max_doc_candidates
+                    ):
+                        raise RuntimeError(
+                            f"uw n={n} w={width} part build: doc {d} "
+                            f"exceeds max_doc_candidates="
+                            f"{max_doc_candidates} candidate tuples — the "
+                            "n>=3 build is combinatorial (O(len * "
+                            "C(width-1, n-1)) per doc). Raise the cap, "
+                            "set a frequency_threshold, or build over a "
+                            "filtered corpus."
+                        )
                 for combo in sorted(cands):
                     children = [
                         positions_to_extents(pos[t]) for t in combo
@@ -279,13 +292,22 @@ def build_unordered_window_postings(
     n: int = 2,
     frequency_threshold: int = 0,
     num_partitions: int | None = None,
+    max_doc_candidates: int | None = None,
 ) -> str:
     """Unordered window part (``#uw:width`` over ``n`` distinct bare terms
     becomes a direct posting lookup). The analog of ``galago build-window
     --ordered=false --n=N --width=w`` (``BuildWindowIndex.java:301-305``
     part naming ``uw.nN.w{w}``), counted with query-iterator semantics —
     see :func:`_uw_pair_stream` (n=2 fast path) and
-    :func:`_uw_tuple_stream` (n>=3, exact n-ary merge loop)."""
+    :func:`_uw_tuple_stream` (n>=3, exact n-ary merge loop).
+
+    The n>=3 build is COMBINATORIAL — O(len * C(width-1, n-1)) candidate
+    tuples per doc — so it REFUSES to run without an explicit cost bound:
+    either ``frequency_threshold >= 2`` (prunes the written part, which
+    also disables the automatic query rewrite for safety) or
+    ``max_doc_candidates`` (a per-doc candidate cap; the kernel raises —
+    never silently truncates — if any doc exceeds it). The n=2 parts are
+    the default scale path."""
     if width < 2:
         raise ValueError(
             "unordered window parts need width >= 2 (width -1 / #intersect "
@@ -293,11 +315,24 @@ def build_unordered_window_postings(
         )
     if n < 2:
         raise ValueError("unordered window parts need n >= 2")
+    if n >= 3 and frequency_threshold <= 1 and max_doc_candidates is None:
+        raise ValueError(
+            f"n={n} unordered-window part builds are combinatorial "
+            f"(O(len * C(width-1, n-1)) candidate tuples per doc — "
+            "index/window._uw_tuple_stream). Pass frequency_threshold>=2 "
+            "to bound the written part, or max_doc_candidates=<cap> to "
+            "bound per-doc work (the kernel raises if a doc exceeds it); "
+            "n=2 parts are the default scale path."
+        )
     spark = numbered_docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t0 = time.time()
-    stream = _uw_pair_stream(width) if n == 2 else _uw_tuple_stream(width, n)
+    stream = (
+        _uw_pair_stream(width)
+        if n == 2
+        else _uw_tuple_stream(width, n, max_doc_candidates)
+    )
     grams = numbered_docs.select("doc", "content").mapInPandas(
         stream, schema="doc long, term string, tf long"
     )

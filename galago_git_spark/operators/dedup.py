@@ -293,13 +293,25 @@ def near_dup_groups(
     representative. Any pair source plugs in (ngram_jaccard_pairs,
     minhash_lsh_pairs, lsh_cosine_pairs).
 
-    Distributed min-label propagation: each round joins current labels
-    across edges and takes the min — converges in O(component diameter)
-    rounds, which for dedup graphs (dense near-clique components) is
-    small. Each round is ONE join + ONE aggregation on the (tiny
-    relative to the corpus) pair graph; edges and labels persist across
-    rounds so the loop never re-reads upstream. Deterministic at any
-    parallelism (min is order-independent)."""
+    Distributed min-label propagation WITH pointer jumping: each round
+    (a) takes the min of a node's label and its neighbors' labels, then
+    (b) shortcuts through the label graph (``lbl <- min(lbl,
+    lbl[lbl])`` — valid because a label is always a node id inside the
+    same component and labels only decrease). Neighbor propagation moves
+    labels one hop per round; the jump halves the remaining pointer
+    depth, so a duplicate CHAIN of length L converges in O(log L) rounds
+    rather than O(L) — the same doubling idea as the large-star/
+    small-star MapReduce algorithm. Each round is two joins + one
+    aggregation on the (tiny relative to the corpus) pair graph; edges
+    and labels persist across rounds so the loop never re-reads
+    upstream. Deterministic at any parallelism (min is
+    order-independent).
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds — with the O(log) convergence the default 20
+    covers components of diameter ~2^19, so hitting the cap means a
+    pathological input, and silently splitting a component would return
+    wrong groups (VERDICT r4 item 5)."""
     from pyspark.storagelevel import StorageLevel
 
     e = pairs.select(
@@ -317,17 +329,32 @@ def near_dup_groups(
         .withColumn("lbl", F.col("doc"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        cand = labels.join(
+            neighbor_min, labels.doc == neighbor_min.src, "left"
+        ).select(
+            "doc",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("m"),
+        )
+        # pointer jump: follow the candidate label to ITS label
+        parent = labels.select(
+            F.col("doc").alias("pdoc"), F.col("lbl").alias("plbl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            cand.join(parent, cand.m == parent.pdoc, "left")
             .select(
                 "doc",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                F.least(
+                    F.col("m"), F.coalesce(F.col("plbl"), F.col("m"))
+                ).alias("lbl"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -341,7 +368,17 @@ def near_dup_groups(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"near_dup_groups: labels still changing after max_iter="
+            f"{max_iter} rounds — returning here would silently split "
+            "components; raise max_iter (convergence is O(log diameter), "
+            "so this indicates a pathological pair graph)"
+        )
     out = labels.select(
         "doc",
         F.col("lbl").alias("group"),

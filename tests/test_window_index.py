@@ -162,7 +162,11 @@ def tuple_windowed_index(spark, tmp_path_factory):
     build_window_postings(numbered, d, n=2)
     build_window_postings(numbered, d, n=3)
     build_unordered_window_postings(numbered, d, width=8, n=2)
-    build_unordered_window_postings(numbered, d, width=12, n=3)
+    # n>=3 builds require an explicit cost bound (combinatorial guard);
+    # the cap is generous so this 120-doc fixture is unaffected
+    build_unordered_window_postings(
+        numbered, d, width=12, n=3, max_doc_candidates=200_000
+    )
     return d
 
 
@@ -294,3 +298,26 @@ def test_custom_count_op_under_window_gets_positions(spark, windowed_index):
         assert "window.od1.2" in plan
     finally:
         unregister_count_op("double")
+
+
+def test_uw3_build_refuses_unbounded(spark, tmp_path):
+    """n>=3 unordered-window builds are combinatorial and must refuse to
+    run without an explicit cost bound (frequency_threshold>=2 or
+    max_doc_candidates); with a too-small cap the kernel raises loudly
+    rather than silently truncating (VERDICT r4 item 6)."""
+    corpus = synthetic_code_corpus(spark, n_docs=8, seed=3)
+    numbered = assign_doc_ids(corpus)
+    d = str(tmp_path / "idx")
+
+    with pytest.raises(ValueError, match="combinatorial"):
+        build_unordered_window_postings(numbered, d, width=12, n=3)
+
+    with pytest.raises(Exception, match="max_doc_candidates"):
+        build_unordered_window_postings(
+            numbered, d, width=12, n=3, max_doc_candidates=3
+        )
+
+    # threshold alone satisfies the guard (part prunes, build bounded)
+    build_unordered_window_postings(
+        numbered, d, width=12, n=3, frequency_threshold=2
+    )
