@@ -126,6 +126,7 @@ def cmd_build(args: argparse.Namespace) -> dict:
         bucket_bits=args.bucket_bits,
         id_col=args.id_col,
         stemmer=getattr(args, "stemmer", None),
+        tokenizer=getattr(args, "tokenizer", "pandas"),
         tag_fields=(
             [f.strip() for f in args.tag_fields.split(",") if f.strip()]
             if getattr(args, "tag_fields", None)
@@ -1515,8 +1516,13 @@ def main(argv: list[str] | None = None) -> int:
                         "--input-format trectext/html builds")
     b.add_argument("--stemmer", default=None,
                    help="also write a stemmed postings.<name>/termstats."
-                        "<name> part (e.g. porter2) and make it the "
-                        "default text part, BuildIndex.java:409-455")
+                        "<name> part (e.g. porter2, arabic) and make it "
+                        "the default text part, BuildIndex.java:409-455")
+    b.add_argument("--tokenizer", default="pandas",
+                   choices=["pandas", "native", "unicode"],
+                   help="'pandas' (code-aware, default) / 'native' (same "
+                        "rule, JVM expressions) / 'unicode' (Unicode-word "
+                        "separators for non-Latin corpora, e.g. Arabic)")
     b.add_argument("--id-col", default=None,
                    help="use this column as the doc id verbatim instead of "
                         "deterministic numbering")

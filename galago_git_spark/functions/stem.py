@@ -258,9 +258,21 @@ def identity(term: str) -> str:
 # registry — the SURVEY §2.2 term_transform hook
 # --------------------------------------------------------------------------
 
+def _arabic(term: str) -> str:
+    # lazy import keeps the (large-table) Arabic module off the porter2
+    # fast path; resolved once per executor process
+    from galago_git_spark.functions.stem_arabic import arabic
+
+    return arabic(term)
+
+
 _STEMMERS: dict[str, Callable[[str], str]] = {
     "null": identity,
     "porter2": porter2,
+    # SnowballArabicStemmer.java:6 analog (public Snowball 'arabic'
+    # algorithm, pinned to the reference's output — stem_arabic.py)
+    "arabic": _arabic,
+    "snowball_arabic": _arabic,
 }
 
 

@@ -45,6 +45,13 @@ from pyspark.sql import types as T
 MAX_TOKEN_LENGTH = 100  # TagTokenizerParser.java:32-42
 SPLIT_PATTERN = r"[^a-z0-9_]+"
 _SPLIT_RE = re.compile(SPLIT_PATTERN)
+# Unicode-word tokenizer for non-Latin corpora (e.g. Arabic builds with
+# stemmer="arabic"): \w in Python re is Unicode letters/digits/underscore
+# — the TagTokenizer keeps Unicode word chars too (TagTokenizer.java
+# processes full UTF-16). The Spark-native equivalent of this class is
+# the Java regex [^\p{L}\p{N}_]+.
+UNICODE_SPLIT_PATTERN = r"[^\w]+"
+_UNICODE_SPLIT_RE = re.compile(UNICODE_SPLIT_PATTERN, re.UNICODE)
 _APOSTROPHES = "'’"  # ASCII + right-single-quote, TagTokenizerNormalization.java:86-112
 
 
@@ -63,14 +70,16 @@ def tokenize_col(text: Column) -> Column:
     )
 
 
-def _tokenize_series(s: pd.Series) -> pd.Series:
-    """Vectorized pandas implementation of the canonical rule."""
+def _tokenize_series(s: pd.Series, split_re=None) -> pd.Series:
+    """Vectorized pandas implementation of the canonical rule.
+    ``split_re`` swaps the separator class (default: code-aware ASCII;
+    pass ``_UNICODE_SPLIT_RE`` for Unicode-word tokenization)."""
     cleaned = (
         s.fillna("")
         .str.lower()
         .str.replace(f"[{_APOSTROPHES}]", "", regex=True)
     )
-    split = cleaned.str.split(SPLIT_PATTERN, regex=True)
+    split = cleaned.str.split(split_re or _SPLIT_RE, regex=True)
     return split.map(
         lambda toks: [t for t in toks if t and len(t) <= MAX_TOKEN_LENGTH]
     )
@@ -80,6 +89,13 @@ def _tokenize_series(s: pd.Series) -> pd.Series:
 def tokenize_pandas(s: pd.Series) -> pd.Series:
     """Canonical tokenizer as an Arrow-batched pandas UDF."""
     return _tokenize_series(s)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_pandas_unicode(s: pd.Series) -> pd.Series:
+    """Unicode-word tokenizer as an Arrow-batched pandas UDF (non-Latin
+    corpora; same normalization, ``\\w``-class separators)."""
+    return _tokenize_series(s, _UNICODE_SPLIT_RE)
 
 
 def tokenize_py(text: str | None) -> list[str]:
@@ -119,7 +135,7 @@ def group_positions(docs_rep, terms, pos) -> "pd.DataFrame":
         "positions": np.split(sp, change),
     })
 
-def doc_term_freqs_stream(positions: bool):
+def doc_term_freqs_stream(positions: bool, tokenizer: str = "pandas"):
     """``mapInPandas`` kernel: (doc, content) batches -> (doc, term, tf
     [, positions]) rows, final with no further aggregation — every doc
     lives in exactly one Arrow batch, so per-doc counts computed here ARE
@@ -130,11 +146,13 @@ def doc_term_freqs_stream(positions: bool):
     UDF)."""
     import numpy as np
 
+    split_re = _UNICODE_SPLIT_RE if tokenizer == "unicode" else _SPLIT_RE
+
     def fn(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            tok_lists = _tokenize_series(pdf["content"]).to_list()
+            tok_lists = _tokenize_series(pdf["content"], split_re).to_list()
             lengths = np.fromiter((len(t) for t in tok_lists), dtype=np.int64)
             keep = lengths > 0
             if not keep.any():
@@ -158,13 +176,14 @@ def doc_term_freqs_stream(positions: bool):
     return fn
 
 
-def doc_term_freqs(docs_with_ids, positions: bool = False):
+def doc_term_freqs(docs_with_ids, positions: bool = False,
+                   tokenizer: str = "pandas"):
     """(doc, content) -> posting rows DataFrame via one fused UDF pass."""
     schema = "doc long, term string, tf long"
     if positions:
         schema += ", positions array<int>"
     return docs_with_ids.select("doc", "content").mapInPandas(
-        doc_term_freqs_stream(positions), schema=schema
+        doc_term_freqs_stream(positions, tokenizer), schema=schema
     )
 
 

@@ -142,6 +142,12 @@ def tokenized_docs(docs_with_ids: DataFrame, tokenizer: str = "pandas") -> DataF
         terms = tokenize_col(F.col("content"))
     elif tokenizer == "pandas":
         terms = tokenize_pandas(F.col("content"))
+    elif tokenizer == "unicode":
+        from galago_git_spark.functions.tokenize import (
+            tokenize_pandas_unicode,
+        )
+
+        terms = tokenize_pandas_unicode(F.col("content"))
     else:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return docs_with_ids.withColumn("terms", terms)
@@ -196,6 +202,12 @@ def build_index(
         raise ValueError(
             "tag_fields and fields=True are mutually exclusive — an index "
             "has one token geometry (code-structural OR tag-span fields)"
+        )
+    if tokenizer not in ("pandas", "native", "unicode"):
+        raise ValueError(
+            f"unknown tokenizer {tokenizer!r}: 'pandas' (code-aware, "
+            "default), 'native' (same rule, JVM expressions), or "
+            "'unicode' (Unicode-word separators for non-Latin corpora)"
         )
     spark = docs.sparkSession
     if num_term_partitions is None:
@@ -305,7 +317,11 @@ def build_index(
                 aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
             postings = token_rows.groupBy("term", "doc").agg(*aggs)
         else:
-            postings = doc_term_freqs(numbered, positions=positions)
+            # "pandas" (code-aware, default) or "unicode" (non-Latin
+            # corpora, e.g. Arabic builds) — same fused kernel either way
+            postings = doc_term_freqs(
+                numbered, positions=positions, tokenizer=tokenizer
+            )
         cols = ["term", "doc", "tf"] + (["positions"] if positions else [])
         # persist the posting stream before the range write:
         # repartitionByRange's bound-sampling pass executes its child in

@@ -2027,6 +2027,12 @@ SELECT doc,
 FROM v"""
 
 
+# cap for q_trectext_parse's deliberate driver-local collect: ~2M docs of
+# the synthetic table is a few hundred MB — far below driver memory; a
+# bigger sf fails fast with guidance instead of OOMing (patchable in tests)
+TRECTEXT_MAX_DRIVER_ROWS = 2_000_000
+
+
 def q_trectext_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip the documents table through on-disk TREC-text files and
     the distributed format reader (sources/formats.py — the
@@ -2046,7 +2052,19 @@ def q_trectext_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from galago_git_spark.sources.formats import read_corpus_files
 
-    rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    # driver-side size guard (VERDICT r4 item 10): this entry alone
+    # collects the table; a larger sf must fail with a clear message
+    # instead of OOMing the driver mid-collect
+    src = _docs(spark, sf_dir).select("doc_id", "text")
+    max_rows = TRECTEXT_MAX_DRIVER_ROWS
+    n = src.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise RuntimeError(
+            f"fti_trectext_parse materializes the corpus driver-locally "
+            f"by design (it grades the FILE parsers); {sf_dir} has > "
+            f"{max_rows} docs — run it at a smaller sf"
+        )
+    rows = src.collect()
     key = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     tmp = f"/tmp/galago_trectext_{key}"
     _shutil.rmtree(tmp, ignore_errors=True)
@@ -2117,6 +2135,79 @@ def q_stemmed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this entry is vacuous unless both sides stem identically."""
     idx = inline_index(_docs(spark, sf_dir), stemmer="porter2")
     return _ranked(score_frame("#combine(tables queries customer)", idx))
+
+
+# --- Arabic (Snowball) stemmed plane ---------------------------------------
+
+_AR_PREFIXES = ["", "ال", "وال", "بال", "لل", "و", "ف", "س" + "ي"]
+_AR_ROOTS = [
+    "طالب", "مدرس", "كتاب", "درس", "علم",
+    "كاتب", "شارك", "ذهب", "قرأ", "مستشفى",
+]
+_AR_SUFFIXES = ["", "ة", "ات", "ون", "ين", "ها", "هم", "نا", "ى"]
+AR_FORM_COUNT = 144
+
+
+def _arabic_forms() -> list[str]:
+    """Deterministic affix-rich Arabic vocabulary: the cross product
+    prefixes x roots x suffixes, truncated to AR_FORM_COUNT — covers the
+    article/conjunction prefixes, plural/possessive suffixes, teh
+    marbuta and alef maqsura paths of the Snowball algorithm."""
+    forms = []
+    for i in range(AR_FORM_COUNT):
+        p = _AR_PREFIXES[i % len(_AR_PREFIXES)]
+        r = _AR_ROOTS[(i // len(_AR_PREFIXES)) % len(_AR_ROOTS)]
+        s = _AR_SUFFIXES[(i // (len(_AR_PREFIXES) * len(_AR_ROOTS))) % len(_AR_SUFFIXES)]
+        forms.append(p + r + s)
+    return forms
+
+
+def q_stemmed_arabic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowball-Arabic stemmed conflation counts over a corpus-keyed
+    Arabic vocabulary (SnowballArabicStemmer.java:6 plane, selected at
+    BuildIndex.java:409-424): each doc is assigned the Arabic surface
+    form ``_arabic_forms()[doc_id % AR_FORM_COUNT]``; the REAL engine
+    path (functions/stem.stem_pandas with the 'arabic' stemmer — the
+    same Arrow kernel build_index(stemmer='arabic') runs) stems it, and
+    conflation groups count docs and distinct surface forms per stem.
+    The oracle joins the same doc->form assignment against a
+    (form, stem) mapping precomputed with the Python stemmer, whose own
+    correctness is pinned to the reference's compiled Snowball output on
+    a 3.6k golden vector set (tests/test_stem_arabic.py)."""
+    from galago_git_spark.functions.stem import stem_pandas
+
+    forms = _arabic_forms()
+    arr = F.array(*[F.lit(w) for w in forms])
+    words = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(
+            arr, (F.col("doc_id") % AR_FORM_COUNT + 1).cast("int")
+        ).alias("word"),
+    )
+    return (
+        words.withColumn("stem", stem_pandas(F.col("word"), "arabic"))
+        .groupBy("stem")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("word").alias("n_forms"),
+        )
+    )
+
+
+def _sql_stemmed_arabic() -> str:
+    from galago_git_spark.functions.stem_arabic import arabic as _ar_stem
+
+    rows = ",\n  ".join(
+        f"({i}, '{w}', '{_ar_stem(w)}')"
+        for i, w in enumerate(_arabic_forms())
+    )
+    return f"""WITH m(fid, word, stem) AS (VALUES
+  {rows}),
+w AS (
+  SELECT d.doc_id, m.word, m.stem
+  FROM documents d JOIN m ON m.fid = d.doc_id % {AR_FORM_COUNT})
+SELECT stem, count(*) AS n_docs, count(DISTINCT word) AS n_forms
+FROM w GROUP BY stem"""
 
 
 def q_conflation_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2453,6 +2544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- scalar columns for the driver canonicalizer (VERDICT r4 #1)
         "graph_link_anchors": q_link_anchors,
         "fti_conflation_part": q_conflation_part,
+        # --- new in r5: Snowball Arabic stemmer plane (VERDICT r4 #7)
+        "fti_stemmed_arabic": q_stemmed_arabic,
         # --- new in r4 session 4: paragraph dedup; minhash plan changed
         # --- (band keys off the wide mins — no unpivot/re-agg)
         "dedup_paragraphs": q_paragraph_dedup,
@@ -2566,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_link_anchors": SQL_LINK_ANCHORS,
         "fti_conflation_part": SQL_CONFLATION,
         "fti_stemmed_postings": SQL_STEMMED_POSTINGS,
+        "fti_stemmed_arabic": _sql_stemmed_arabic(),
         "fti_stemmed_topk": _rank_sql(
             _sql_stemmed_dirichlet(["tables", "queries", "customer"])
         ),

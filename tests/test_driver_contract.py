@@ -139,3 +139,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_trectext_parse_size_guard(spark, monkeypatch):
+    """q_trectext_parse collects the corpus driver-locally by design; a
+    larger-than-cap sf must fail fast with guidance, not OOM the driver
+    mid-collect (VERDICT r4 item 10)."""
+    from galago_git_spark.plans import driver_queries as dq
+
+    monkeypatch.setattr(dq, "TRECTEXT_MAX_DRIVER_ROWS", 10)
+    with pytest.raises(RuntimeError, match="smaller sf"):
+        dq.q_trectext_parse(spark, SF_DIR)
