@@ -353,6 +353,64 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
             "queries_per_sec": round(n_q / wall, 3),
         }
 
+    if args.mode == "daat-batch":
+        # whole-batch single-job block-max WAND (query/wand.wand_batch_topk):
+        # one cogroup over bucket-pruned blocks; per-query driver
+        # scheduling (the --threads path's serial fraction) disappears
+        from galago_git_spark.query.parser import parse
+        from galago_git_spark.query.wand import (
+            PackedReader, wand_batch_topk, wand_eligible,
+        )
+
+        if reader is None:
+            reader = PackedReader(spark, args.index,
+                                  text_part=getattr(args, "part", None))
+            reader.lengths_bucketed.count()
+        batch: dict = {}
+        for q in queries:
+            elig = wand_eligible(parse(q["text"]), args.scorer)
+            if elig is None:
+                raise SystemExit(
+                    f"--mode daat-batch requires WAND-eligible queries "
+                    f"(flat #combine of bm25 terms); {q['number']} is not "
+                    "— use --mode daat for mixed batches"
+                )
+            terms, weights = elig
+            if reader.stemmer_name is not None:
+                from galago_git_spark.functions.stem import (
+                    get_stemmer, stem_as_required,
+                )
+
+                fn = get_stemmer(reader.stemmer_name)
+                terms = [stem_as_required(t, fn) for t in terms]
+            batch[str(q["number"])] = (terms, weights)
+        t0 = time.perf_counter()
+        rows = []
+        for _ in range(args.repeats):
+            rows = wand_batch_topk(
+                spark, args.index, batch, k=args.k, reader=reader
+            ).collect()
+        wall = time.perf_counter() - t0
+        if not args.timing:
+            for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+                print(
+                    f"{r['qid']} Q0 {r['doc']} {r['rank']} "
+                    f"{r['score']:.6f} galago_git_spark",
+                    file=sys.stderr,
+                )
+        spark.stop()
+        n_q = len(queries) * args.repeats
+        return {
+            "cmd": "batch-search",
+            "mode": "daat-batch",
+            "n_queries": len(queries),
+            "repeats": args.repeats,
+            "cores": args.cores,
+            "result_rows": len(rows),
+            "wall_sec": round(wall, 4),
+            "queries_per_sec": round(n_q / wall, 3),
+        }
+
     # TimedBatchSearch.java:122-137: optional seeded shuffle per repeat so
     # timing runs are order-independent
     rnd = None
@@ -1559,8 +1617,13 @@ def main(argv: list[str] | None = None) -> int:
     bs.add_argument("--seed", type=int, default=None,
                     help="shuffle query order per repeat (TimedBatchSearch)")
     bs.add_argument("--threads", type=int, default=1)
-    bs.add_argument("--mode", choices=["daat", "plan"], default="daat",
-                    help="daat: per-query WAND/executor; plan: whole batch as one DataFrame job")
+    bs.add_argument("--mode", choices=["daat", "plan", "daat-batch"],
+                    default="daat",
+                    help="daat: per-query WAND/executor; plan: whole batch "
+                         "as one DataFrame job (exhaustive); daat-batch: "
+                         "whole batch as ONE block-max WAND cogroup job — "
+                         "no per-query driver scheduling, the cluster-"
+                         "scale batch shape")
     bs.add_argument("--timing", action="store_true")
     bs.set_defaults(fn=cmd_batch_search)
 

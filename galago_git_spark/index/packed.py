@@ -297,6 +297,7 @@ def build_packed(
     blocks = stream.mapInPandas(_pack_stream(block_size), schema=BLOCKS_SCHEMA)
     blocks_path = os.path.join(index_dir, out)
     blocks.write.mode("overwrite").parquet(blocks_path)
+    _compact_small_part(spark, blocks_path)
 
     params = {
         "block_size": block_size,
@@ -330,6 +331,47 @@ def packed_params(index_dir: str, part: str = "blocks") -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     return manifest["parts"][part]["params"]
+
+
+_COMPACT_BYTES = 64 << 20   # parts below this get rewritten...
+_COMPACT_TARGET = 16 << 20  # ...into ~this many bytes per file
+
+
+def _compact_small_part(spark: SparkSession, path: str) -> None:
+    """Collapse a small many-file parquet part into few files.
+
+    The pack job writes one file per task (32 on local[32]); for a small
+    part that leaves KB-sized files, and Spark's split planner (one
+    partition per file once ``totalBytes/defaultParallelism <
+    openCostInBytes``) then schedules one TASK per file on every query —
+    a pruned 25-block scan was costing 96 task launches across the three
+    #sdm parts. Rewriting small parts into ~16 MB files makes the scan
+    task count follow the data. Above 64 MB this is a no-op: big parts
+    already split by size (128 MB), and at 100 TB the layer never
+    qualifies. Per-file (term, bucket, doc) order is preserved by
+    ``coalesce`` (it concatenates whole input files within a partition),
+    and the WAND kernel orders blocks itself anyway."""
+    total = 0
+    files = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, n))
+                files += 1
+    n_out = max(1, -(-total // _COMPACT_TARGET))
+    if total >= _COMPACT_BYTES or files <= n_out:
+        return
+    import shutil
+
+    tmp = path + ".compact"
+    (
+        spark.read.parquet(path)
+        .coalesce(int(n_out))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.replace(tmp, path)
 
 
 def read_blocks(spark: SparkSession, index_dir: str, part: str = "blocks") -> DataFrame:

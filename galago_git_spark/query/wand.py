@@ -378,6 +378,211 @@ def wand_topk(
 
 
 # ---------------------------------------------------------------------------
+# single-job batch WAND: the whole query batch compiled into ONE cogroup.
+# Per-query job submission (cli batch-search --threads, the
+# ThreadedBatchSearch analog) leaves a serial driver-scheduling fraction
+# that caps scaling at low core counts (BASELINE.md round-4: 0.68 raw at
+# the honest 1->4 pair). Here the batch is one plan: blocks pruned to the
+# UNION of all query terms, one shuffle to buckets, and a per-bucket
+# kernel that runs every query's block-max WAND over the shared decoded
+# blocks (a hot term's block is decoded once for all queries touching
+# it). Wall-clock parallelism = buckets x cores, independent of the
+# number of queries — the cluster-scale batch shape.
+# ---------------------------------------------------------------------------
+
+_BATCH_OUT_SCHEMA = "qid string, doc long, score double"
+
+
+def _batch_bucket_kernel(
+    query_infos: dict[str, dict[str, tuple[float, float]]],
+    k: int, b: float, kk: float, avgdl: float, default_tfn: bool,
+):
+    """Multi-query per-bucket kernel. ``query_infos``: qid -> (term ->
+    (weight, idf)). Identical per-query logic to ``_bucket_kernel``
+    (rank-identity asserted in tests/test_packed_wand.py); block decode
+    is shared across queries via one cache keyed by block row."""
+
+    def kernel(blocks: pd.DataFrame, lengths: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": [], "doc": [], "score": []}).astype(
+            {"qid": "object", "doc": "int64", "score": "float64"}
+        )
+        if blocks.empty or lengths.empty:
+            return empty
+        len_docs = lengths["doc"].to_numpy(dtype=np.int64)
+        len_vals = lengths["length"].to_numpy(dtype=np.float64)
+        order = np.argsort(len_docs)
+        len_docs, len_vals = len_docs[order], len_vals[order]
+
+        terms_col = blocks["term"].to_numpy()
+        first_all = blocks["first_doc"].to_numpy(dtype=np.int64)
+        last_all = blocks["last_doc"].to_numpy(dtype=np.int64)
+        if default_tfn:
+            tfn_ub_all = blocks["max_tfn"].to_numpy(dtype=np.float64)
+        else:
+            t = blocks["max_tf"].to_numpy(dtype=np.int64).astype(np.float64)
+            tfn_ub_all = (t * (kk + 1)) / (t + kk * (1 - b + b * t / avgdl))
+
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        frames = []
+        for qid, term_info in query_infos.items():
+            sel = np.array(
+                [t in term_info for t in terms_col], dtype=bool
+            )
+            if not sel.any():
+                continue
+            idxs = np.nonzero(sel)[0]
+            first, last = first_all[idxs], last_all[idxs]
+            w_idf = np.array(
+                [term_info[t][0] * term_info[t][1] for t in terms_col[idxs]],
+                dtype=np.float64,
+            )
+            ubs = np.maximum(w_idf * tfn_ub_all[idxs], 0.0)
+
+            edges = np.unique(np.concatenate([first, last + 1]))
+            n_seg = len(edges) - 1
+            lo_idx = np.searchsorted(edges, first, side="right") - 1
+            hi_idx = np.searchsorted(edges, last, side="right") - 1
+            seg_ub = np.zeros(n_seg + 1, dtype=np.float64)
+            np.add.at(seg_ub, lo_idx, ubs)
+            np.add.at(seg_ub, hi_idx + 1, -ubs)
+            seg_ub = np.cumsum(seg_ub)[:n_seg]
+
+            seg_order = np.argsort(-seg_ub, kind="stable")
+            block_order = np.argsort(lo_idx, kind="stable")
+
+            top_docs = np.empty(0, dtype=np.int64)
+            top_scores = np.empty(0, dtype=np.float64)
+            threshold = -math.inf
+            for s in seg_order:
+                if len(top_docs) >= k and seg_ub[s] < threshold:
+                    break
+                seg_lo, seg_hi = int(edges[s]), int(edges[s + 1]) - 1
+                active = block_order[
+                    (lo_idx[block_order] <= s) & (hi_idx[block_order] >= s)
+                ]
+                all_docs = []
+                all_contrib = []
+                for qi in active:
+                    bi = int(idxs[qi])
+                    if bi not in decoded:
+                        decoded[bi] = (
+                            decode_doc_block(
+                                blocks["docs"].iloc[bi]
+                            ).astype(np.int64),
+                            vbyte_decode(
+                                blocks["tfs"].iloc[bi]
+                            ).astype(np.float64),
+                        )
+                    d, t = decoded[bi]
+                    a = np.searchsorted(d, seg_lo, side="left")
+                    z = np.searchsorted(d, seg_hi, side="right")
+                    if a == z:
+                        continue
+                    dd, tt = d[a:z], t[a:z]
+                    ln = len_vals[np.searchsorted(len_docs, dd)]
+                    contrib = w_idf[qi] * (tt * (kk + 1)) / (
+                        tt + kk * (1 - b + b * ln / avgdl)
+                    )
+                    all_docs.append(dd)
+                    all_contrib.append(contrib)
+                if not all_docs:
+                    continue
+                docs_cat = np.concatenate(all_docs)
+                contrib_cat = np.concatenate(all_contrib)
+                uniq, inv = np.unique(docs_cat, return_inverse=True)
+                scores = np.bincount(inv, weights=contrib_cat)
+                top_docs = np.concatenate([top_docs, uniq])
+                top_scores = np.concatenate([top_scores, scores])
+                sel2 = np.lexsort((top_docs, -top_scores))[:k]
+                top_docs, top_scores = top_docs[sel2], top_scores[sel2]
+                if len(top_docs) >= k:
+                    threshold = top_scores[-1]
+            if len(top_docs):
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, "doc": top_docs, "score": top_scores}
+                    )
+                )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    return kernel
+
+
+def wand_batch_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, tuple[list[str], list[float] | None]],
+    k: int = 10,
+    b: float = BM25_B,
+    k1: float = BM25_K,
+    normalize: bool = True,
+    reader: PackedReader | None = None,
+) -> DataFrame:
+    """Whole-batch BM25 WAND in ONE Spark job. ``queries``: qid ->
+    (terms, weights-or-None). Returns (qid, doc, score, rank), each
+    query's top-k rank-identical to :func:`wand_topk` on that query
+    (asserted in tests/test_packed_wand.py)."""
+    if reader is None:
+        reader = PackedReader(spark, index_dir, cache=False)
+    params = reader.params
+    cs = reader.index.collection_stats
+    avgdl = cs.avg_doc_length
+
+    union_terms = sorted({t for terms, _w in queries.values() for t in terms})
+    stats = reader.term_stats(union_terms)
+    query_infos: dict[str, dict[str, tuple[float, float]]] = {}
+    for qid, (terms, weights) in queries.items():
+        if weights is None:
+            weights = [1.0] * len(terms)
+        if normalize:
+            total = sum(weights)
+            if total > 0:
+                weights = [w / total for w in weights]
+        info = {
+            t: (w, bm25_idf(cs.document_count, stats[t].df))
+            for t, w in zip(terms, weights)
+            if t in stats
+        }
+        if info:
+            query_infos[qid] = info
+    if not query_infos:
+        return spark.createDataFrame(
+            [], "qid string, doc long, score double, rank int"
+        )
+
+    default_tfn = (
+        abs(b - params["bm25_b"]) < 1e-12
+        and abs(k1 - params["bm25_k"]) < 1e-12
+        and abs(avgdl - params["avgdl"]) < 1e-9
+    )
+    live_terms = sorted({t for info in query_infos.values() for t in info})
+    blocks = reader.blocks.select(
+        "term", "bucket", "first_doc", "last_doc", "max_tf", "max_tfn",
+        "docs", "tfs",
+    ).filter(F.col("term").isin(live_terms))
+    buckets = blocks.select("bucket").distinct()
+    lengths = reader.lengths_bucketed.join(
+        F.broadcast(buckets), "bucket", "left_semi"
+    )
+
+    kernel = _batch_bucket_kernel(query_infos, k, b, k1, avgdl, default_tfn)
+    candidates = (
+        blocks.groupBy("bucket")
+        .cogroup(lengths.groupBy("bucket"))
+        .applyInPandas(kernel, schema=_BATCH_OUT_SCHEMA)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # flat Dirichlet WAND over arbitrary posting leaves — the part-backed #sdm
 # tier: window parts (index/window.py) packed into their own block layers
 # (index/packed.pack_window_parts) turn od/uw children into plain posting

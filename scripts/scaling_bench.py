@@ -261,8 +261,19 @@ def main() -> int:
                  "--cores", str(cores), "--k", str(args.k),
                  "--mode", "plan", "--timing", "--repeats", str(args.repeats)]
             )
-            print(f"batch-search (daat+wand) at local[{cores}] ...", file=sys.stderr)
+            print(f"batch-search (daat-batch) at local[{cores}] ...", file=sys.stderr)
+            # the WAND tier's batch shape: ONE cogroup job for the whole
+            # batch (query/wand.wand_batch_topk) — no per-query driver
+            # scheduling, so the serial fraction that capped the threaded
+            # path at low core counts (r4: 0.68 raw at 1->4) is gone
             sd = run_cli(
+                ["batch-search", "--index", index_dir, "--queries", qfile,
+                 "--cores", str(cores), "--k", str(args.k),
+                 "--mode", "daat-batch", "--timing",
+                 "--repeats", str(args.repeats)]
+            )
+            print(f"batch-search (daat threaded) at local[{cores}] ...", file=sys.stderr)
+            st = run_cli(
                 ["batch-search", "--index", index_dir, "--queries", qfile,
                  "--cores", str(cores), "--k", str(args.k), "--wand",
                  "--threads", str(max(1, cores // 2)), "--timing"]
@@ -270,6 +281,7 @@ def main() -> int:
             results["levels"][str(cores)] = {
                 "build": b, "build_counts": bc,
                 "batch_search": sp, "batch_search_daat": sd,
+                "batch_search_daat_threaded": st,
             }
 
         # cross-level rank-identity spot check (same ids at both sizes)
@@ -303,6 +315,12 @@ def main() -> int:
     dhi = results["levels"][hi]["batch_search_daat"]["queries_per_sec"]
     results["query_daat_scaling_efficiency"] = round((dhi / dlo) / ratio, 4)
     results["query_daat_speedup"] = round(dhi / dlo, 3)
+    tlo = results["levels"][lo]["batch_search_daat_threaded"]["queries_per_sec"]
+    thi = results["levels"][hi]["batch_search_daat_threaded"]["queries_per_sec"]
+    results["query_daat_threaded_scaling_efficiency"] = round(
+        (thi / tlo) / ratio, 4
+    )
+    results["query_daat_threaded_speedup"] = round(thi / tlo, 3)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

@@ -435,3 +435,36 @@ def test_presorted_broadcast_guard_falls_back(spark, tmp_path):
         return sorted(out)
 
     assert decoded(a) == decoded(b)
+
+
+def test_batch_wand_rank_identical_to_per_query(spark, packed_index):
+    """wand_batch_topk (one job for the whole batch) must return, per
+    query, exactly wand_topk's (doc, score, rank) rows — including
+    weighted and absent-term queries."""
+    from galago_git_spark.query.wand import wand_batch_topk
+
+    batch = {
+        "q0": (["def", "return"], None),
+        "q1": (["get_set", "run_load", "index_query"], None),
+        "q2": (["the_head_term"], None),
+        "q3": (["the_head_term", "def", "score_token"], None),
+        "q4": (["zzz_not_a_term", "def"], None),
+        "q5": (["def", "return"], [0.7, 0.3]),
+        "q6": (["zzz_not_a_term"], None),
+    }
+    got = wand_batch_topk(spark, packed_index, batch, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc"], round(r["score"], 9))
+        )
+    for q in by_q.values():
+        q.sort()
+    for qid, (terms, weights) in batch.items():
+        want = [
+            (r["rank"], r["doc"], round(r["score"], 9))
+            for r in wand_topk(
+                spark, packed_index, terms, k=10, weights=weights
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want, f"{qid} diverged"
