@@ -692,6 +692,82 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(raw.select("doc", "score"))
 
 
+# three queries with shared terms — the whole-batch single-job WAND
+# (query/wand.wand_batch_topk): weights get normalized per query inside
+# both the engine call and the oracle SQL
+BATCH_WAND_QUERIES: dict[str, list[tuple[str, float]]] = {
+    "q_ft": [("fast", 1.0), ("table", 1.0)],
+    "q_mix": [("data", 1.0), ("index", 1.0), ("row", 1.0)],
+    "q_w": [("merge", 2.0), ("table", 1.0)],
+}
+
+
+def q_wand_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-batch block-max WAND in ONE cogroup job
+    (query/wand.wand_batch_topk — the cluster-scale batch shape;
+    ThreadedBatchSearch.java:104-105 is the per-query analog it
+    replaces): three queries over the shared packed index, per-qid
+    top-10. Overfetches raw candidates, then re-ranks per qid on
+    rounded scores to the oracle tie convention."""
+    from galago_git_spark.query.wand import wand_batch_topk
+
+    batch = {
+        qid: ([t for t, _ in tw], [w for _, w in tw])
+        for qid, tw in BATCH_WAND_QUERIES.items()
+    }
+    raw = wand_batch_topk(spark, _packed_dir(spark, sf_dir), batch, k=40)
+    r = raw.select("qid", "doc", F.round(F.col("score"), 6).alias("score"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        r.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc", "score", "rank")
+    )
+
+
+def _sql_bm25_batch(
+    queries: dict[str, list[tuple[str, float]]], k=10, b=0.75, k1=1.2
+) -> str:
+    """One SQL for the whole batch: qt carries (qid, term, w-normalized),
+    scoring groups by (qid, doc), rank partitions by qid — the oracle
+    twin of wand_batch_topk's one-job shape."""
+    rows = []
+    for qid, tw in sorted(queries.items()):
+        total = sum(w for _, w in tw)
+        for t, w in tw:
+            rows.append(f"('{qid}', '{t}', {w / total}::double)")
+    vals = ", ".join(rows)
+    terms_in = ", ".join(
+        sorted({f"'{t}'" for tw in queries.values() for t, _ in tw})
+    )
+    return f"""WITH {TOKS}, {TOK}, {LENS}, {CS},
+qt AS (SELECT * FROM (VALUES {vals}) AS q(qid, term, w)),
+post AS (SELECT term, doc, count(*)::double AS tf FROM tok
+         WHERE term IN ({terms_in}) GROUP BY term, doc),
+ts AS (SELECT term, count(*)::double AS df FROM post GROUP BY term),
+scored AS (
+  SELECT q.qid, p.doc,
+         sum(q.w * ln(cs.n / (ts.df + 0.5))
+             * (p.tf * {k1 + 1}) / (p.tf + {k1} * ({1 - b} + {b} * l.length / (cs.cl / cs.n)))) AS s
+  FROM post p
+  JOIN lens l USING (doc)
+  JOIN ts USING (term)
+  JOIN qt q ON q.term = p.term
+  CROSS JOIN cs
+  GROUP BY q.qid, p.doc)
+SELECT qid, doc, score, rank FROM (
+  SELECT qid, doc, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(s, 6) DESC, doc ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
+SQL_WAND_BATCH = _sql_bm25_batch(BATCH_WAND_QUERIES)
+
+
 def q_sdm_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#sdm(fast table) via the part-backed packed tier
     (wand_sdm_parts_topk): od/uw children served from packed window
@@ -2535,78 +2611,25 @@ ORDER BY doc"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered newest/least-recently-driver-checked FIRST (VERDICT r3
-    item 9: the driver samples from the front, so entries whose last
-    verification is oldest — plus everything new or changed this round —
-    lead; the long-stable r1/r2 relational entries trail)."""
+    """Ordered newest/least-recently-driver-checked FIRST: the driver
+    samples the front 50 of the registry, so the front holds (a) entries
+    changed or added this round, (b) every entry whose last driver check
+    is two rounds old (the r3-verified set -- rotating them in makes the
+    r4+r5 union cover all 79 entries, VERDICT r4 item 8), then (c)
+    r4-green entries whose input plans are touched by this round's
+    packed-part compaction. The 29-entry tail is exclusively r4-green
+    code-unchanged entries. Mapping recorded in STATUS.md (round 5).
+    """
     return {
-        # --- changed in r5: the two r4-red entries, outputs flattened to
-        # --- scalar columns for the driver canonicalizer (VERDICT r4 #1)
+        # --- changed in r5: outputs flattened to scalar columns (r4 #1)
         "graph_link_anchors": q_link_anchors,
         "fti_conflation_part": q_conflation_part,
-        # --- new in r5: Snowball Arabic stemmer plane (VERDICT r4 #7)
+        # --- new in r5: whole-batch single-job WAND (r4 #3); the Arabic
+        # --- stemmer entry (r4 #7, added late in r4, never yet sampled)
+        "fti_wand_batch_topk": q_wand_batch_topk,
         "fti_stemmed_arabic": q_stemmed_arabic,
-        # --- new in r4 session 4: paragraph dedup; minhash plan changed
-        # --- (band keys off the wide mins — no unpivot/re-agg)
-        "dedup_paragraphs": q_paragraph_dedup,
-        "dedup_minhash_lsh": q_minhash_lsh,
-        # --- new in r4 session 3: lifecycle planes graded end-to-end ---
-        "fti_merged_index_topk": q_merged_index,
-        "fti_incremental_topk": q_incremental_index,
-        "fti_indicator_filter": q_indicator_filter,
-        "fti_log_topk": q_log_score,
-        # --- new in r4 (stemmer, working set, tag fields, bil2) + the
-        # --- two entries whose implementation CHANGED in r4 (part-backed
-        # --- #sdm WAND; skew-guarded jaccard)
-        "fti_stemmed_postings": q_stemmed_postings,
-        "fti_stemmed_topk": q_stemmed_topk,
-        "fti_working_set": q_working_set,
-        "fti_inside_tag_field": q_inside_tag_field,
-        "fti_bil2_topk": q_bil2,
-        "fti_sdm_wand_topk": q_sdm_wand_topk,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_groups": q_dedup_groups,
-        # --- never driver-sampled in r3 (verified then only by the
-        # --- judge's local oracle run): ANN / dedup / text / multimodal
-        "ann_ivf_part_topk": q_ann_ivf_part_topk,
-        "fti_trectext_parse": q_trectext_parse,
-        "dedup_simhash": q_simhash,
-        "dedup_exact": q_dedup_exact,
-        "dedup_embedding_cosine": q_embedding_cosine_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_buckets": q_lsh_buckets,
-        "text_quality": q_quality,
-        "text_lang_id": q_lang_id,
-        "text_token_counts": q_token_counts,
-        "text_fingerprint": q_fingerprint,
-        "mm_media_features": q_media_features,
-        "mm_frame_sample": q_frame_sample,
-        # --- r3-driver-verified (stable) ---
-        "fti_postings": q_postings,
-        "fti_doc_lengths": q_doc_lengths,
-        "fti_term_stats": q_term_stats,
-        "fti_collection_stats": q_collection_stats,
-        "fti_bm25_topk": _retrieval("#combine:scorer=bm25(table row merge)"),
-        "fti_dirichlet_topk": _retrieval("#combine(query scan)"),
-        "fti_jm_topk": _retrieval(
-            "#combine(#jm(join) #jm(filter))"
-        ),
-        "fti_weighted_combine_topk": _retrieval(
-            "#combine:0=0.7:1=0.3(#bm25(hash) #bm25(table))"
-        ),
-        "fti_pl2_topk": _retrieval("#combine(#pl2(group) #pl2(order))"),
-        "fti_inl2_topk": _retrieval("#combine(#inl2(window) #inl2(batch))"),
-        "fti_ordered_window": q_ordered_window,
-        "fti_unordered_window": q_unordered_window,
-        "fti_sdm_topk": q_sdm,
-        "fti_bm25_wand_topk": q_bm25_wand_topk,
-        "fti_uw_part_window": q_uw_part_window,
-        "fti_fdm_topk": q_fdm,
-        "fti_scale_topk": q_scale_combine,
-        "fti_logcount_topk": q_logcount,
-        "fti_threshold_topk": q_threshold_require,
-        "fti_rm3_topk": q_rm3,
+        # --- last driver-checked in r3: rotated in so the r4+r5 union
+        # --- covers the whole registry (r4 #8)
         "fti_od_part_window": q_od_part_window,
         "fti_bigram_window": q_bigram,
         "fti_booltocount_topk": q_booltocount,
@@ -2624,11 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_null_smoothing": q_null_smoothing,
         "fti_extentor_count": q_extentor_count,
         "fti_bm25rf_topk": q_bm25rf_topk,
-        # #stopword removes 'the'/'of' (inquery list) before scoring
-        # (StopWordTraversal.java:47-82): identical to BM25 over the kept terms
-        "fti_stopword_topk": _retrieval(
-            "#stopword(#combine:scorer=bm25(the table of row merge))"
-        ),
+        "fti_stopword_topk": _retrieval("#stopword(#combine:scorer=bm25(the table of row merge))"),
         "fti_reject_filter": q_reject_filter,
         "fti_inside_field": q_inside_field,
         "fti_field_between": q_field_between,
@@ -2638,8 +2657,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fti_bm25f_topk": q_bm25f,
         "fti_prior_combine": q_prior_combine,
         "graph_pagerank": q_pagerank,
+        # --- r4-green, but their on-disk packed inputs are rebuilt under
+        # --- r5's small-part compaction (index/packed.py) -- re-fronted
+        "fti_sdm_wand_topk": q_sdm_wand_topk,
+        "fti_bm25_wand_topk": q_bm25_wand_topk,
+        "fti_uw_part_window": q_uw_part_window,
+        "fti_merged_index_topk": q_merged_index,
+        "fti_incremental_topk": q_incremental_index,
+        "fti_sdm_topk": q_sdm,
+        "fti_trectext_parse": q_trectext_parse,
+        "dedup_paragraphs": q_paragraph_dedup,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "fti_indicator_filter": q_indicator_filter,
+        "fti_log_topk": q_log_score,
+        "fti_stemmed_postings": q_stemmed_postings,
+        "fti_stemmed_topk": q_stemmed_topk,
+        "fti_working_set": q_working_set,
+        "fti_inside_tag_field": q_inside_tag_field,
+        "fti_bil2_topk": q_bil2,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
+        "ann_ivf_part_topk": q_ann_ivf_part_topk,
+        # --- r4-green, code-unchanged since (the driver-unsampled tail;
+        # --- green in CORRECTNESS_r04 and the local 79/79 oracle gate)
+        "dedup_simhash": q_simhash,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding_cosine": q_embedding_cosine_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_buckets": q_lsh_buckets,
+        "text_quality": q_quality,
+        "text_lang_id": q_lang_id,
+        "text_token_counts": q_token_counts,
+        "text_fingerprint": q_fingerprint,
+        "mm_media_features": q_media_features,
+        "mm_frame_sample": q_frame_sample,
+        "fti_postings": q_postings,
+        "fti_doc_lengths": q_doc_lengths,
+        "fti_term_stats": q_term_stats,
+        "fti_collection_stats": q_collection_stats,
+        "fti_bm25_topk": _retrieval("#combine:scorer=bm25(table row merge)"),
+        "fti_dirichlet_topk": _retrieval("#combine(query scan)"),
+        "fti_jm_topk": _retrieval("#combine(#jm(join) #jm(filter))"),
+        "fti_weighted_combine_topk": _retrieval("#combine:0=0.7:1=0.3(#bm25(hash) #bm25(table))"),
+        "fti_pl2_topk": _retrieval("#combine(#pl2(group) #pl2(order))"),
+        "fti_inl2_topk": _retrieval("#combine(#inl2(window) #inl2(batch))"),
+        "fti_ordered_window": q_ordered_window,
+        "fti_unordered_window": q_unordered_window,
+        "fti_fdm_topk": q_fdm,
+        "fti_scale_topk": q_scale_combine,
+        "fti_logcount_topk": q_logcount,
+        "fti_threshold_topk": q_threshold_require,
+        "fti_rm3_topk": q_rm3,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2685,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         # packed WAND tier: same oracles as the relational entries — the
         # pruned kernels must be value-identical, not just rank-similar
         "fti_bm25_wand_topk": _rank_sql(_sql_bm25(BM25_TERMS)),
+        "fti_wand_batch_topk": SQL_WAND_BATCH,
         "fti_sdm_wand_topk": _rank_sql(_sql_sdm("fast", "table")),
         # the part-backed #uw must be value-identical to the positional
         # iterator semantics the relational entry grades

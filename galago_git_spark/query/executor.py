@@ -283,7 +283,26 @@ def compile_count(
     ``positions`` column (window kernels, #syn merges, #inside containment)
     — it disables the window-part rewrite, whose count leaves carry null
     positions (the reference's rewrite likewise only fires in count
-    context, WindowRewriteTraversal.java)."""
+    context, WindowRewriteTraversal.java).
+
+    Under an active :func:`~galago_git_spark.query.nodecache.node_cache`
+    context (the CachedRetrieval.java analog), compiled frames are
+    memoized by node key and persisted on second use, so subtrees shared
+    across a query batch are scanned once; the recursion below routes
+    children through this wrapper, so sharing applies at every depth."""
+    from galago_git_spark.query.nodecache import active_cache
+
+    cache = active_cache()
+    if cache is not None:
+        return cache.get_or_compile(
+            node, index, need_positions, _compile_count_impl
+        )
+    return _compile_count_impl(node, index, need_positions)
+
+
+def _compile_count_impl(
+    node: Node, index: Index, need_positions: bool = False
+) -> DataFrame:
     op = node.operator
     if op in ("counts", "extents", "text"):
         term = str(node.default_param)

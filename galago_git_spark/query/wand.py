@@ -697,6 +697,39 @@ def _flat_dirichlet_kernel(leaf_info: dict[str, tuple[float, float]],
     return kernel
 
 
+# cost-probe threshold for #sdm tier routing: below this many candidate
+# postings (sum of the query terms' document frequencies) the exhaustive
+# window-part rewrite — pure JVM DataFrame plan, no Python round-trip —
+# beats the cogroup kernel's fixed overhead (an Arrow batch transfer +
+# pandas kernel per bucket); above it the kernel's exact block-max
+# pruning wins because the exhaustive plan must score EVERY candidate.
+# Calibration (round 5, 600k-doc synthetic code corpus, local[16],
+# BASELINE.md §sdm-routing): NO crossover observed up to df_sum ~961k —
+# kernel 1.18 s vs exhaustive 1.07 s at the head-term pair — so the
+# default routes every single-box-scale query to the exhaustive rewrite
+# and reserves the kernel for cluster-scale parts, where full candidate
+# scoring (not the fixed kernel cost) dominates. Override with
+# $SPARK_GRAFT_SDM_WAND_MIN_POSTINGS for other hardware.
+SDM_WAND_MIN_POSTINGS = 2_000_000
+
+
+def sdm_kernel_pays_off(reader: "PackedReader", terms: list[str],
+                        min_postings: int | None = None) -> bool:
+    """Cost probe for #sdm routing (--wand picks per-query cheapest):
+    True when the part-backed WAND kernel should beat the exhaustive
+    window-part rewrite. The probe reads only driver-cached term stats
+    — no Spark job."""
+    import os as _os
+
+    if min_postings is None:
+        min_postings = int(_os.environ.get(
+            "SPARK_GRAFT_SDM_WAND_MIN_POSTINGS", str(SDM_WAND_MIN_POSTINGS)
+        ))
+    stats = reader.term_stats(list(set(terms)))
+    total = sum(s.df for s in stats.values())
+    return total >= min_postings
+
+
 def wand_sdm_parts_topk(
     spark: SparkSession,
     index_dir: str,

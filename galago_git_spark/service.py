@@ -3,9 +3,10 @@
 ``SearchWebHandler.java:458-497``) re-expressed as a stdlib
 ``ThreadingHTTPServer`` over one shared SparkSession.
 
-Routes (JSON everywhere — the reference's XML/HTML skins are rendering,
-not retrieval; its JSON-shaped SearchResult/SearchResultItem fields are
-kept: rank, identifier, score, metadata, summary):
+Routes (JSON for the machine API; `/` and `/html/search` additionally
+serve the reference's browser HTML skin — handleMainPage/handleSearch.
+The SearchResult/SearchResultItem fields are kept: rank, identifier,
+score, metadata, summary):
 
     /search?q=...&k=10[&scorer=bm25][&wand=true]   handleSearch
     /document?id=<name-or-number>[&tokenize=true]  handleDocument
@@ -15,6 +16,8 @@ kept: rank, identifier, score, metadata, summary):
     /stats                                         handleStats
     /parts                                         handleParts
     /transformquery?q=...                          handleTransformQuery
+    /                                              handleMainPage (HTML)
+    /html/search?q=...&k=10                        handleSearch (HTML)
 
 Concurrency model: Spark job submission is thread-safe, so each HTTP
 thread submits its query as an independent job into the shared scheduler
@@ -183,9 +186,86 @@ class SearchService:
         }
 
 
+# ---------------------------------------------------------------------------
+# HTML skin — SearchWebHandler's browser routes (handleMainPage
+# SearchWebHandler.java:430-448, handleSearch :161-260, writeStyle
+# :415-428). Rendering only: both pages call the same SearchService the
+# JSON routes use. From-scratch markup (the reference builds its page
+# with PrintWriter appends); queries/snippets are HTML-escaped.
+# ---------------------------------------------------------------------------
+
+_STYLE = """<style>
+body { font-family: sans-serif; }
+#header { background: #d2e9d9; border: 1px solid #ccc; padding: 8px; }
+#result { padding: 10px 5px; max-width: 550px; }
+#meta { font-size: small; color: #3c643c; }
+#summary { font-size: small; }
+#debug { display: none; background: #f4f4f4; padding: 6px; }
+</style>
+<script>function toggleDebug() {
+  var o = document.getElementById('debug');
+  o.style.display = o.style.display != 'block' ? 'block' : 'none';
+}</script>"""
+
+
+def render_main_page(title: str = "galago_git_spark search") -> str:
+    """handleMainPage (SearchWebHandler.java:430-448): a centered form."""
+    import html as _html
+
+    t = _html.escape(title)
+    return (
+        f"<html><head>{_STYLE}<title>{t}</title></head><body>"
+        f"<center><br/><br/><div id=\"box\"><h2>{t}</h2>"
+        '<form action="html/search"><input name="q" size="40">'
+        '<input value="Search" type="submit"/></form><br/><br/>'
+        "</div></center></body></html>\n"
+    )
+
+
+def render_search_page(service: SearchService, q: str, k: int = 10,
+                       scorer: str | None = None,
+                       wand: bool = False) -> str:
+    """handleSearch's HTML body (SearchWebHandler.java:161-260): header
+    form, a debug toggle showing the raw + transformed query, one result
+    div per item (title link -> /document, snippet, identifier + score
+    meta line)."""
+    import html as _html
+
+    res = service.search(q, k=k, scorer=scorer, wand=wand)
+    dq = _html.escape(q, quote=True)
+    out = [
+        f"<html><head>{_STYLE}<title>{dq} - galago_git_spark"
+        "</title></head><body>",
+        '<div id="header"><form action="search">'
+        f'<input name="q" size="40" value="{dq}"/>'
+        '<input value="Search" type="submit"/></form></div>',
+        '<center>[<a href="#" onClick="toggleDebug(); return false;">'
+        "debug</a>]</center>",
+        '<div id="debug"><table>'
+        f"<tr><td>Original Query</td><td>{dq}</td></tr>"
+        f"<tr><td>Transformed Query</td>"
+        f"<td>{_html.escape(res['transformedQuery'])}</td></tr>"
+        "</table></div>",
+    ]
+    for item in res["items"]:
+        ident = _html.escape(str(item["identifier"] or item["document"]),
+                             quote=True)
+        title = ident or "&lt;document link&gt;"
+        summary = _html.escape(item.get("summary") or "")
+        out.append(
+            '<div id="result">'
+            f'<a href="document?id={ident}">{title}</a><br/>'
+            f'<div id="summary">{summary}</div>'
+            f'<div id="meta">{ident} - {item["score"]:.2f}</div></div>'
+        )
+    out.append("</body></html>\n")
+    return "".join(out)
+
+
 def make_handler(service: SearchService):
     """Route table — SearchWebHandler.handle (SearchWebHandler.java:
-    458-497), JSON responses."""
+    458-497). JSON routes as before; `/` and `/html/search` serve the
+    reference's browser skin (handleMainPage/handleSearch HTML)."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test servers
@@ -195,6 +275,14 @@ def make_handler(service: SearchService):
             body = json.dumps(obj).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_html(self, page: str, status: int = 200) -> None:
+            body = page.encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "text/html; charset=UTF-8")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -233,6 +321,16 @@ def make_handler(service: SearchService):
                     self._reply(service.parts())
                 elif u.path == "/transformquery":
                     self._reply(service.transform_query(one("q", "")))
+                elif u.path in ("/", "/index.html"):
+                    # handleMainPage (SearchWebHandler.java:430-448)
+                    self._reply_html(render_main_page())
+                elif u.path == "/html/search":
+                    # handleSearch HTML (SearchWebHandler.java:161-260)
+                    self._reply_html(render_search_page(
+                        service, one("q", ""), k=int(one("k", "10")),
+                        scorer=one("scorer"),
+                        wand=one("wand", "false") == "true",
+                    ))
                 else:
                     self._reply({"error": f"no route {u.path}"}, 404)
             except Exception as e:  # surface retrieval errors as JSON

@@ -437,6 +437,45 @@ def test_presorted_broadcast_guard_falls_back(spark, tmp_path):
     assert decoded(a) == decoded(b)
 
 
+def test_sdm_cost_probe_routes_identically(
+    spark, packed_parts_index, monkeypatch
+):
+    """--wand #sdm routing (VERDICT r4 item 4): the cost probe picks the
+    kernel only above the candidate-postings threshold, and the CLI
+    returns identical rows whichever side the probe lands on."""
+    from galago_git_spark.cli import _run_one
+    from galago_git_spark.index.build import open_index
+    from galago_git_spark.query.wand import PackedReader, sdm_kernel_pays_off
+
+    reader = PackedReader(spark, packed_parts_index, cache=False)
+    # threshold resolution: explicit arg, then env, then module default
+    assert sdm_kernel_pays_off(reader, ["def", "return"], min_postings=1)
+    assert not sdm_kernel_pays_off(
+        reader, ["def", "return"], min_postings=10**9
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SDM_WAND_MIN_POSTINGS", "1")
+    assert sdm_kernel_pays_off(reader, ["def", "return"])
+    monkeypatch.setenv("SPARK_GRAFT_SDM_WAND_MIN_POSTINGS", str(10**9))
+    assert not sdm_kernel_pays_off(reader, ["def", "return"])
+
+    idx = open_index(spark, packed_parts_index)
+
+    def rows(env_val: str):
+        monkeypatch.setenv("SPARK_GRAFT_SDM_WAND_MIN_POSTINGS", env_val)
+        got = [
+            (r["doc"], round(r["score"], 6))
+            for r in _run_one(
+                spark, idx, packed_parts_index, "#sdm(def return)", 10,
+                "dirichlet", True, reader=reader,
+            )
+        ]
+        # the kernel ranks on ROUNDED scores, the exhaustive path on raw
+        # — compare under the shared rounded convention
+        return sorted(got, key=lambda t: (-t[1], t[0]))
+
+    assert rows("1") == rows(str(10**9))  # kernel route == exhaustive
+
+
 def test_batch_wand_rank_identical_to_per_query(spark, packed_index):
     """wand_batch_topk (one job for the whole batch) must return, per
     query, exactly wand_topk's (doc, score, rank) rows — including

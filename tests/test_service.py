@@ -131,3 +131,40 @@ def test_search_wand_route_on_packed_index(spark, tmp_path_factory):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def _get_html(base: str, path: str, **params) -> str:
+    qs = urllib.parse.urlencode(params, doseq=True)
+    url = f"{base}{path}" + (f"?{qs}" if qs else "")
+    with urllib.request.urlopen(url, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        return r.read().decode()
+
+
+def test_html_main_page(server):
+    """`/` serves the search form (handleMainPage,
+    SearchWebHandler.java:430-448)."""
+    base, _ = server
+    page = _get_html(base, "/")
+    assert "<form action=\"html/search\"" in page
+    assert "<input name=\"q\"" in page
+
+
+def test_html_search_page_renders_results_escaped(spark, server):
+    """/html/search renders one result div per item with the same ranking
+    as the JSON route (handleSearch, SearchWebHandler.java:161-260), and
+    escapes the query text."""
+    base, _ = server
+    js = _get(base, "/search", q="#combine(def return)", k=3)
+    page = _get_html(base, "/html/search", q="#combine(def return)", k=3)
+    assert page.count('<div id="result">') == 3
+    for item in js["items"]:
+        assert str(item["identifier"]) in page
+    # transformed query in the debug block
+    assert "Transformed Query" in page
+    # escaping: a query with markup must not inject tags
+    hostile = '<script>alert(1)</script>'
+    page2 = _get_html(base, "/html/search", q=hostile, k=1)
+    assert "<script>alert(1)</script>" not in page2
+    assert "&lt;script&gt;" in page2
