@@ -317,6 +317,27 @@ def main() -> None:
         qt = queries_to_terms(spark, batch_q)
         timed3("q_batch_plan_12q", lambda: batch_bm25_topk(idx, qt, k=10).collect())
 
+        if has_packed:
+            # whole-batch single-job block-max WAND (wand_batch_topk,
+            # VERDICT r4 item 3): same 12 queries as the exhaustive plan
+            # above, one cogroup job, rank-identical per qid to wand_topk
+            from galago_git_spark.query.parser import parse
+            from galago_git_spark.query.wand import (
+                wand_batch_topk,
+                wand_eligible,
+            )
+
+            wb = {
+                q["number"]: wand_eligible(parse(q["text"]), "bm25")
+                for q in batch_q
+            }
+            timed3(
+                "q_batch_daat_12q",
+                lambda: wand_batch_topk(
+                    spark, index_dir, wb, k=10, reader=reader
+                ).collect(),
+            )
+
         # 3. training-data operators straight off the driver tables
         reg = dq.queries()
         for name in (

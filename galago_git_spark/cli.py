@@ -61,6 +61,31 @@ def _fs_exists(spark, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def _read_corpus_table(spark, path: str, fmt: str = "parquet"):
+    """Corpus-table readers — the north-rule input is an Iceberg table of
+    ``(repo, path, commit, lang, content)``. ``parquet`` reads a
+    directory; ``iceberg``/``delta`` delegate to the session's configured
+    catalog via ``spark.read.format(fmt).load`` (predicate pushdown,
+    column pruning, and partition/file pruning all arrive through the
+    DataSource V2 scan for free); ``table`` resolves a catalog table name
+    via ``spark.table`` — catalog-registered Iceberg tables read this
+    way. Everything downstream of the scan sees one DataFrame, so the
+    engine is storage-format-agnostic."""
+    if fmt == "table":
+        return spark.table(path)
+    if fmt in ("parquet", None):
+        return spark.read.parquet(path)
+    try:
+        return spark.read.format(fmt).load(path)
+    except Exception as e:
+        raise SystemExit(
+            f"--table-format {fmt} needs the {fmt} Spark runtime on the "
+            "classpath (spark-submit --packages "
+            "org.apache.iceberg:iceberg-spark-runtime-<ver>, plus a "
+            f"catalog config): {e}"
+        )
+
+
 def cmd_build(args: argparse.Namespace) -> dict:
     spark = _get_spark(args.cores, "galago-build")
     spark.sparkContext.setLogLevel("ERROR")
@@ -110,7 +135,9 @@ def cmd_build(args: argparse.Namespace) -> dict:
             as_corpus(parsed).write.mode("overwrite").parquet(parsed_dir)
         docs = spark.read.parquet(parsed_dir)
     else:
-        docs = spark.read.parquet(args.input)
+        docs = _read_corpus_table(
+            spark, args.input, getattr(args, "table_format", "parquet")
+        )
 
     t0 = time.perf_counter()
     # --packed folds the block layer into the build's concurrent wave 2
@@ -1600,6 +1627,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --input-format: record-split the shards at "
                         "scan time (one task per file-split; for huge "
                         "uncompressed trectext/trecweb/twitter/tsv/jsonl)")
+    b.add_argument("--table-format", default="parquet",
+                   choices=["parquet", "iceberg", "delta", "table"],
+                   help="storage format of the corpus TABLE at --input: "
+                        "'iceberg'/'delta' load through the session's "
+                        "DataSource V2 catalog (needs the runtime jar on "
+                        "the classpath); 'table' resolves --input as a "
+                        "catalog table name (spark.table)")
     b.add_argument("--packed", action="store_true")
     b.add_argument("--positions", action=argparse.BooleanOptionalAction,
                    default=True,

@@ -360,3 +360,52 @@ def test_batch_search_seed_shuffle_cli(cli_index, tmp_path):
               "--repeats", "2", "--seed", "7", "--timing", "--cores", "2"])
     assert r["n_queries"] == 2 and r["repeats"] == 2
     assert set(r["query_times_sec"]) == {"q1", "q2"}
+
+
+def test_read_corpus_table_formats(spark, monkeypatch):
+    """--table-format routing (north-rule input is an Iceberg corpus
+    table): 'table' -> spark.table, 'parquet' -> spark.read.parquet,
+    other formats -> spark.read.format(fmt).load; a missing runtime jar
+    surfaces as an actionable SystemExit, not a JVM stack."""
+    import pytest
+
+    from galago_git_spark.cli import _read_corpus_table
+
+    calls = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def load(self, path):
+            calls["load"] = path
+            return "df-load"
+
+        def parquet(self, path):
+            calls["parquet"] = path
+            return "df-parquet"
+
+    class FakeSpark:
+        read = FakeReader()
+
+        def table(self, name):
+            calls["table"] = name
+            return "df-table"
+
+    fs = FakeSpark()
+    assert _read_corpus_table(fs, "cat.db.corpus", "table") == "df-table"
+    assert calls["table"] == "cat.db.corpus"
+    assert _read_corpus_table(fs, "/p", "parquet") == "df-parquet"
+    assert _read_corpus_table(fs, "/p", "iceberg") == "df-load"
+    assert calls["format"] == "iceberg"
+
+    class BrokenReader(FakeReader):
+        def load(self, path):
+            raise RuntimeError("Failed to find data source: iceberg")
+
+    class BrokenSpark(FakeSpark):
+        read = BrokenReader()
+
+    with pytest.raises(SystemExit, match="iceberg-spark-runtime"):
+        _read_corpus_table(BrokenSpark(), "/p", "iceberg")
