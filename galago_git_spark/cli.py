@@ -355,7 +355,10 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
 
         reader = PackedReader(spark, args.index,
                               text_part=getattr(args, "part", None))
-        reader.lengths_bucketed.count()  # warm the shared cache once
+        # resident bucket-partitioned posting cache (size-guarded; falls
+        # back to pruned scans + shuffle when the part is too big to pin)
+        if not reader.enable_cogroup_cache():
+            reader.lengths_bucketed.count()  # warm the shared cache once
     with open(args.queries) as f:
         queries = json.load(f)["queries"]
 
@@ -402,6 +405,7 @@ def cmd_batch_search(args: argparse.Namespace) -> dict:
         if reader is None:
             reader = PackedReader(spark, args.index,
                                   text_part=getattr(args, "part", None))
+        if not reader.enable_cogroup_cache():
             reader.lengths_bucketed.count()
         batch: dict = {}
         for q in queries:

@@ -182,6 +182,18 @@ def _bucket_kernel(term_info: dict[str, tuple[float, float]], k: int,
     return kernel
 
 
+def _part_bytes(spark: SparkSession, path: str) -> int:
+    """On-disk size of an index part, via the Hadoop FileSystem so
+    hdfs:/s3a: index dirs answer the same way local ones do."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return 0
+    return fs.getContentSummary(p).getLength()
+
+
 class PackedReader:
     """Reusable query-session handle over a packed index — the analog of
     keeping a DiskIndex + LocalRetrieval open across queries
@@ -241,6 +253,74 @@ class PackedReader:
         self._ts_map: dict | None = None
         self._part_blocks: dict[str, DataFrame] = {}
         self._part_cfs: dict[str, dict | None] = {}
+        self._blocks_cogrp: DataFrame | None = None
+        self._lengths_cogrp: DataFrame | None = None
+
+    # columns the BM25 WAND kernels read — `pos` (the dominant payload)
+    # and `n` are projected out before anything is cached or shuffled
+    _WAND_COLS = ("term", "bucket", "first_doc", "last_doc", "max_tf",
+                  "max_tfn", "docs", "tfs")
+
+    # resident-cache ceiling: the on-disk size of the blocks part above
+    # which enable_cogroup_cache refuses (executor memory is not a posting
+    # store at 100 TB — the cold pruned-scan path stays the default there)
+    DEFAULT_BLOCK_CACHE_MAX_BYTES = 8 << 30
+
+    def enable_cogroup_cache(self, n_partitions: int | None = None,
+                             max_bytes: int | None = None) -> bool:
+        """Pin the WAND projection of the blocks part and the bucketed
+        lengths in executor storage, hash-partitioned by ``bucket`` with
+        the SAME partition count — the long-running query-SERVICE shape
+        (``LocalRetrieval`` keeps its DiskIndex resident; a distributed
+        search service keeps shards resident on workers). Every
+        subsequent :func:`wand_topk` / :func:`wand_batch_topk` cogroup
+        then plans directly over the two ``InMemoryTableScan``s with NO
+        per-query shuffle of either side (a term filter preserves hash
+        partitioning), so per-batch cost is kernel compute only.
+
+        Guarded: refuses (returns False, cache stays off) when the
+        on-disk blocks part exceeds ``max_bytes`` (default 8 GiB, env
+        ``GALAGO_SPARK_BLOCK_CACHE_MAX_BYTES``) — at corpus scales where
+        postings dwarf cluster memory the pruned-scan + shuffle path is
+        the right plan and this cache must not be pinned."""
+        import os
+
+        if self._blocks_cogrp is not None:
+            return True
+        if max_bytes is None:
+            max_bytes = int(os.environ.get(
+                "GALAGO_SPARK_BLOCK_CACHE_MAX_BYTES",
+                self.DEFAULT_BLOCK_CACHE_MAX_BYTES,
+            ))
+        blocks_key = ("blocks" if self.stemmer_name is None
+                      else f"blocks.{self.stemmer_name}")
+        size = _part_bytes(self.spark, os.path.join(self.index_dir, blocks_key))
+        if size > max_bytes:
+            return False
+        if n_partitions is None:
+            n_partitions = max(
+                8, self.spark.sparkContext.defaultParallelism * 4
+            )
+        self._blocks_cogrp = (
+            self.blocks.select(*self._WAND_COLS)
+            .repartition(n_partitions, "bucket")
+            .persist()
+        )
+        self._lengths_cogrp = (
+            self.lengths_bucketed.repartition(n_partitions, "bucket")
+            .persist()
+        )
+        self._blocks_cogrp.count()
+        self._lengths_cogrp.count()
+        return True
+
+    def wand_frames(self) -> tuple[DataFrame, DataFrame]:
+        """(blocks, lengths) for the WAND cogroups: the resident
+        co-partitioned pair when :meth:`enable_cogroup_cache` is on,
+        else the pruned-scan frames (parquet pushdown does the work)."""
+        if self._blocks_cogrp is not None:
+            return self._blocks_cogrp, self._lengths_cogrp
+        return self.blocks.select(*self._WAND_COLS), self.lengths_bucketed
 
     def term_stats(self, terms: list[str]) -> dict:
         """Driver-cached stats lookup. The whole termstats table is pulled
@@ -354,14 +434,15 @@ def wand_topk(
 
     # project position payloads (and the unused n) OUT of the scan: BM25
     # never reads them, and parquet column pruning then skips those bytes
-    # entirely — at 100 TB the `pos` column dwarfs docs+tfs
-    blocks = reader.blocks.select(
-        "term", "bucket", "first_doc", "last_doc", "max_tf", "max_tfn",
-        "docs", "tfs",
-    ).filter(F.col("term").isin(list(term_info)))
+    # entirely — at 100 TB the `pos` column dwarfs docs+tfs. With the
+    # reader's cogroup cache on, both frames come back resident and
+    # co-partitioned by bucket, so this plan has NO exchange at all.
+    blocks_src, lengths_src = reader.wand_frames()
+    blocks = blocks_src.filter(F.col("term").isin(list(term_info)))
     # prune the lengths side to buckets that actually hold candidate blocks
+    # (broadcast hash join: preserves the lengths side's partitioning)
     buckets = blocks.select("bucket").distinct()
-    lengths = reader.lengths_bucketed.join(F.broadcast(buckets), "bucket", "left_semi")
+    lengths = lengths_src.join(F.broadcast(buckets), "bucket", "left_semi")
 
     kernel = _bucket_kernel(term_info, k, b, k1, avgdl, default_tfn)
     candidates = (
@@ -558,14 +639,20 @@ def wand_batch_topk(
         and abs(avgdl - params["avgdl"]) < 1e-9
     )
     live_terms = sorted({t for info in query_infos.values() for t in info})
-    blocks = reader.blocks.select(
-        "term", "bucket", "first_doc", "last_doc", "max_tf", "max_tfn",
-        "docs", "tfs",
-    ).filter(F.col("term").isin(live_terms))
-    buckets = blocks.select("bucket").distinct()
-    lengths = reader.lengths_bucketed.join(
-        F.broadcast(buckets), "bucket", "left_semi"
-    )
+    blocks_src, lengths_src = reader.wand_frames()
+    blocks = blocks_src.filter(F.col("term").isin(live_terms))
+    if reader._blocks_cogrp is not None:
+        # resident service mode: a batch's term union touches nearly every
+        # bucket, so the per-run broadcast subquery that prunes the
+        # lengths side costs a whole extra job to save almost nothing —
+        # ship the (cached, co-partitioned, size-guarded) lengths whole
+        lengths = lengths_src
+    else:
+        # cold pruned-scan mode: lengths = one row per DOCUMENT, so at
+        # collection scale the semi-join to candidate buckets is the
+        # difference between reading a slice and reading the collection
+        buckets = blocks.select("bucket").distinct()
+        lengths = lengths_src.join(F.broadcast(buckets), "bucket", "left_semi")
 
     kernel = _batch_bucket_kernel(query_infos, k, b, k1, avgdl, default_tfn)
     candidates = (

@@ -507,3 +507,62 @@ def test_batch_wand_rank_identical_to_per_query(spark, packed_index):
             ).collect()
         ]
         assert by_q.get(qid, []) == want, f"{qid} diverged"
+
+
+def test_cogroup_cache_identical_and_exchange_free(spark, packed_index):
+    """PackedReader.enable_cogroup_cache pins the WAND projection and
+    the bucketed lengths co-partitioned by bucket (the query-SERVICE
+    shape). Resident results must equal cold-path results exactly, and
+    the resident batch plan must contain NO exchange between the cached
+    relations and the cogroup — the per-batch shuffles are gone."""
+    from galago_git_spark.query.wand import PackedReader, wand_batch_topk
+
+    batch = {
+        "q0": (["def", "return"], None),
+        "q1": (["the_head_term", "score_token"], [0.8, 0.2]),
+        "q2": (["zzz_not_a_term", "def"], None),
+    }
+    cold = sorted(
+        (r["qid"], r["rank"], r["doc"], round(r["score"], 9))
+        for r in wand_batch_topk(spark, packed_index, batch, k=10).collect()
+    )
+
+    reader = PackedReader(spark, packed_index)
+    assert reader.enable_cogroup_cache(n_partitions=8)
+    assert reader.enable_cogroup_cache()  # idempotent
+    df = wand_batch_topk(spark, packed_index, batch, k=10, reader=reader)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the cogroup subtree reads the two InMemoryTableScans directly; the
+    # only exchange above them is the tiny per-qid rank shuffle (plans
+    # nested INSIDE InMemoryRelation were paid once at persist time)
+    cogroup_part = plan.split("FlatMapCoGroupsInPandas", 1)[1]
+    cogroup_part = cogroup_part.split("InMemoryRelation")[0]
+    assert "Exchange" not in cogroup_part
+    assert plan.count("InMemoryTableScan") >= 2
+    warm = sorted(
+        (r["qid"], r["rank"], r["doc"], round(r["score"], 9))
+        for r in df.collect()
+    )
+    assert warm == cold
+    # single-query path shares the same resident frames
+    hot = wand_topk(spark, packed_index, ["def", "return"], k=5,
+                    reader=reader).collect()
+    ref = wand_topk(spark, packed_index, ["def", "return"], k=5).collect()
+    assert [(r["doc"], round(r["score"], 9)) for r in hot] == [
+        (r["doc"], round(r["score"], 9)) for r in ref
+    ]
+    reader._blocks_cogrp.unpersist()
+    reader._lengths_cogrp.unpersist()
+
+
+def test_cogroup_cache_size_guard(spark, packed_index):
+    """The resident cache refuses when the blocks part exceeds the byte
+    cap — executor memory is not a posting store at collection scale."""
+    from galago_git_spark.query.wand import PackedReader
+
+    reader = PackedReader(spark, packed_index)
+    assert reader.enable_cogroup_cache(max_bytes=1) is False
+    assert reader._blocks_cogrp is None
+    # cold frames still served
+    blocks, lengths = reader.wand_frames()
+    assert "docs" in blocks.columns and "length" in lengths.columns
