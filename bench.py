@@ -160,7 +160,10 @@ def main() -> None:
             from galago_git_spark.query.wand import PackedReader, wand_topk
 
             reader = PackedReader(spark, index_dir)
-            reader.lengths_bucketed.count()  # warm once
+            # held-open service regime: resident bucket-partitioned
+            # posting cache (size-guarded; cold fallback warms lengths)
+            if not reader.enable_cogroup_cache():
+                reader.lengths_bucketed.count()  # warm once
             timed3(
                 "q_bm25_wand_top10",
                 lambda: wand_topk(

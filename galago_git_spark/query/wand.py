@@ -439,10 +439,17 @@ def wand_topk(
     # co-partitioned by bucket, so this plan has NO exchange at all.
     blocks_src, lengths_src = reader.wand_frames()
     blocks = blocks_src.filter(F.col("term").isin(list(term_info)))
-    # prune the lengths side to buckets that actually hold candidate blocks
-    # (broadcast hash join: preserves the lengths side's partitioning)
-    buckets = blocks.select("bucket").distinct()
-    lengths = lengths_src.join(F.broadcast(buckets), "bucket", "left_semi")
+    if reader._blocks_cogrp is not None:
+        # resident service mode: the per-query broadcast subquery that
+        # prunes the lengths side costs a whole extra job; empty-blocks
+        # buckets early-out in the kernel, so results are identical
+        lengths = lengths_src
+    else:
+        # cold mode: prune the lengths side (one row per DOCUMENT) to
+        # buckets that actually hold candidate blocks — at collection
+        # scale this is the difference between a slice and a full read
+        buckets = blocks.select("bucket").distinct()
+        lengths = lengths_src.join(F.broadcast(buckets), "bucket", "left_semi")
 
     kernel = _bucket_kernel(term_info, k, b, k1, avgdl, default_tfn)
     candidates = (

@@ -55,6 +55,10 @@ class SearchService:
             from galago_git_spark.query.wand import PackedReader
 
             self.reader = PackedReader(spark, index_dir)
+            # a long-running service is exactly the regime the resident
+            # bucket-partitioned posting cache exists for (size-guarded;
+            # oversize indexes keep the pruned-scan path)
+            self.reader.enable_cogroup_cache()
 
     # -- retrieval ---------------------------------------------------------
 
