@@ -82,24 +82,37 @@ def wand_eligible(node, default_scorer: str = "bm25") -> tuple[list[str], list[f
 
 
 def _bucket_kernel(term_info: dict[str, tuple[float, float]], k: int,
-                   b: float, kk: float, avgdl: float, default_tfn: bool):
+                   b: float, kk: float, avgdl: float, default_tfn: bool,
+                   lengths_bc=None):
     """Build the per-bucket kernel closure.
 
     term_info: term -> (weight, idf). Upper bound per block:
     weight * idf * max_tfn when the build-time (b, k) match the query's
     (default_tfn=True), else the looser weight * idf * tfn(max_tf, max_tf).
+
+    ``lengths_bc`` (broadcast of doc-sorted (len_docs, len_vals) arrays)
+    switches to the one-sided grouped-map form — see _batch_bucket_kernel.
     """
+    _empty = pd.DataFrame({"doc": [], "score": []}).astype(
+        {"doc": "int64", "score": "float64"}
+    )
 
     def kernel(blocks: pd.DataFrame, lengths: pd.DataFrame) -> pd.DataFrame:
         if blocks.empty or lengths.empty:
-            return pd.DataFrame({"doc": [], "score": []}).astype(
-                {"doc": "int64", "score": "float64"}
-            )
+            return _empty
         len_docs = lengths["doc"].to_numpy(dtype=np.int64)
         len_vals = lengths["length"].to_numpy(dtype=np.float64)
         order = np.argsort(len_docs)
-        len_docs, len_vals = len_docs[order], len_vals[order]
+        return _run(blocks, len_docs[order], len_vals[order])
 
+    def kernel_bc(blocks: pd.DataFrame) -> pd.DataFrame:
+        if blocks.empty:
+            return _empty
+        len_docs, len_vals = lengths_bc.value
+        return _run(blocks, len_docs, len_vals)
+
+    def _run(blocks: pd.DataFrame, len_docs: np.ndarray,
+             len_vals: np.ndarray) -> pd.DataFrame:
         # per-block weighted upper bounds; a negative-idf term's postings
         # only ever *lower* a doc's score, so its bound clamps at 0
         first = blocks["first_doc"].to_numpy(dtype=np.int64)
@@ -147,22 +160,30 @@ def _bucket_kernel(term_info: dict[str, tuple[float, float]], k: int,
             for bi in active:
                 bi = int(bi)
                 if bi not in decoded:
+                    # tfn computed once at decode (same association as the
+                    # batch kernel: w_idf * (A/B), so the two paths stay
+                    # bit-identical, and the per-block bound max_tfn —
+                    # itself a max over per-doc A/B — bounds contrib/w_idf
+                    # exactly rather than to within a ulp)
+                    d = decode_doc_block(
+                        blocks["docs"].iloc[bi]
+                    ).astype(np.int64)
+                    tt = vbyte_decode(
+                        blocks["tfs"].iloc[bi]
+                    ).astype(np.float64)
+                    ln = len_vals[np.searchsorted(len_docs, d)]
                     decoded[bi] = (
-                        decode_doc_block(blocks["docs"].iloc[bi]).astype(np.int64),
-                        vbyte_decode(blocks["tfs"].iloc[bi]).astype(np.float64),
+                        d,
+                        (tt * (kk + 1))
+                        / (tt + kk * (1 - b + b * ln / avgdl)),
                     )
-                d, t = decoded[bi]
+                d, tfn = decoded[bi]
                 a = np.searchsorted(d, seg_lo, side="left")
                 z = np.searchsorted(d, seg_hi, side="right")
                 if a == z:
                     continue
-                dd, tt = d[a:z], t[a:z]
-                ln = len_vals[np.searchsorted(len_docs, dd)]
-                contrib = w_idf[bi] * (tt * (kk + 1)) / (
-                    tt + kk * (1 - b + b * ln / avgdl)
-                )
-                all_docs.append(dd)
-                all_contrib.append(contrib)
+                all_docs.append(d[a:z])
+                all_contrib.append(w_idf[bi] * tfn[a:z])
             if not all_docs:
                 continue
             docs_cat = np.concatenate(all_docs)
@@ -179,7 +200,7 @@ def _bucket_kernel(term_info: dict[str, tuple[float, float]], k: int,
 
         return pd.DataFrame({"doc": top_docs, "score": top_scores})
 
-    return kernel
+    return kernel_bc if lengths_bc is not None else kernel
 
 
 def _part_bytes(spark: SparkSession, path: str) -> int:
@@ -255,6 +276,7 @@ class PackedReader:
         self._part_cfs: dict[str, dict | None] = {}
         self._blocks_cogrp: DataFrame | None = None
         self._lengths_cogrp: DataFrame | None = None
+        self._lengths_bc = None  # broadcast (len_docs, len_vals), sorted
 
     # columns the BM25 WAND kernels read — `pos` (the dominant payload)
     # and `n` are projected out before anything is cached or shuffled
@@ -306,12 +328,31 @@ class PackedReader:
             .repartition(n_partitions, "bucket")
             .persist()
         )
-        self._lengths_cogrp = (
-            self.lengths_bucketed.repartition(n_partitions, "bucket")
-            .persist()
-        )
         self._blocks_cogrp.count()
-        self._lengths_cogrp.count()
+        # lengths side: when the doc count fits, broadcast the globally
+        # doc-sorted (doc, length) arrays instead of co-caching a second
+        # frame — the kernels then run one-sided (grouped-map), so NO
+        # lengths bytes cross Arrow per run and the broadcast unpickles
+        # once per reused Python worker. Beyond the cap (lengths grow
+        # with the COLLECTION), fall back to the co-partitioned cached
+        # lengths frame — still exchange-free, shipped per run.
+        max_docs = int(os.environ.get(
+            "GALAGO_SPARK_LENGTHS_BC_MAX_DOCS", 20_000_000
+        ))
+        if self.index.collection_stats.document_count <= max_docs:
+            pdf = self.index.lengths.select("doc", "length").toPandas()
+            len_docs = pdf["doc"].to_numpy(dtype=np.int64)
+            len_vals = pdf["length"].to_numpy(dtype=np.float64)
+            order = np.argsort(len_docs)
+            self._lengths_bc = self.spark.sparkContext.broadcast(
+                (len_docs[order], len_vals[order])
+            )
+        else:
+            self._lengths_cogrp = (
+                self.lengths_bucketed.repartition(n_partitions, "bucket")
+                .persist()
+            )
+            self._lengths_cogrp.count()
         return True
 
     def wand_frames(self) -> tuple[DataFrame, DataFrame]:
@@ -319,7 +360,12 @@ class PackedReader:
         co-partitioned pair when :meth:`enable_cogroup_cache` is on,
         else the pruned-scan frames (parquet pushdown does the work)."""
         if self._blocks_cogrp is not None:
-            return self._blocks_cogrp, self._lengths_cogrp
+            # in broadcast-lengths mode _lengths_cogrp is None and the
+            # callers take the one-sided grouped-map path instead; the
+            # cold frame is returned so the tuple shape stays stable
+            lengths = (self._lengths_cogrp if self._lengths_cogrp is not None
+                       else self.lengths_bucketed)
+            return self._blocks_cogrp, lengths
         return self.blocks.select(*self._WAND_COLS), self.lengths_bucketed
 
     def term_stats(self, terms: list[str]) -> dict:
@@ -439,24 +485,36 @@ def wand_topk(
     # co-partitioned by bucket, so this plan has NO exchange at all.
     blocks_src, lengths_src = reader.wand_frames()
     blocks = blocks_src.filter(F.col("term").isin(list(term_info)))
-    if reader._blocks_cogrp is not None:
-        # resident service mode: the per-query broadcast subquery that
-        # prunes the lengths side costs a whole extra job; empty-blocks
-        # buckets early-out in the kernel, so results are identical
-        lengths = lengths_src
+    if reader._lengths_bc is not None:
+        # resident service mode with broadcast lengths: one-sided
+        # grouped-map over the cached co-partitioned blocks — zero
+        # exchange, zero lengths bytes through Arrow per query
+        kernel = _bucket_kernel(term_info, k, b, k1, avgdl, default_tfn,
+                                lengths_bc=reader._lengths_bc)
+        candidates = blocks.groupBy("bucket").applyInPandas(
+            kernel, schema=_OUT_SCHEMA
+        )
     else:
-        # cold mode: prune the lengths side (one row per DOCUMENT) to
-        # buckets that actually hold candidate blocks — at collection
-        # scale this is the difference between a slice and a full read
-        buckets = blocks.select("bucket").distinct()
-        lengths = lengths_src.join(F.broadcast(buckets), "bucket", "left_semi")
-
-    kernel = _bucket_kernel(term_info, k, b, k1, avgdl, default_tfn)
-    candidates = (
-        blocks.groupBy("bucket")
-        .cogroup(lengths.groupBy("bucket"))
-        .applyInPandas(kernel, schema=_OUT_SCHEMA)
-    )
+        if reader._blocks_cogrp is not None:
+            # resident mode, lengths too big to broadcast: the per-query
+            # broadcast subquery that prunes the lengths side costs a
+            # whole extra job; empty-blocks buckets early-out in the
+            # kernel, so results are identical
+            lengths = lengths_src
+        else:
+            # cold mode: prune the lengths side (one row per DOCUMENT) to
+            # buckets that actually hold candidate blocks — at collection
+            # scale this is the difference between a slice and a full read
+            buckets = blocks.select("bucket").distinct()
+            lengths = lengths_src.join(
+                F.broadcast(buckets), "bucket", "left_semi"
+            )
+        kernel = _bucket_kernel(term_info, k, b, k1, avgdl, default_tfn)
+        candidates = (
+            blocks.groupBy("bucket")
+            .cogroup(lengths.groupBy("bucket"))
+            .applyInPandas(kernel, schema=_OUT_SCHEMA)
+        )
     w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
     return (
         candidates.orderBy(F.col("score").desc(), F.col("doc").asc())
@@ -484,41 +542,68 @@ _BATCH_OUT_SCHEMA = "qid string, doc long, score double"
 def _batch_bucket_kernel(
     query_infos: dict[str, dict[str, tuple[float, float]]],
     k: int, b: float, kk: float, avgdl: float, default_tfn: bool,
+    lengths_bc=None,
 ):
     """Multi-query per-bucket kernel. ``query_infos``: qid -> (term ->
     (weight, idf)). Identical per-query logic to ``_bucket_kernel``
     (rank-identity asserted in tests/test_packed_wand.py); block decode
-    is shared across queries via one cache keyed by block row."""
+    is shared across queries via one cache keyed by block row.
+
+    ``lengths_bc`` (a Spark broadcast of globally doc-sorted
+    ``(len_docs, len_vals)`` numpy arrays) switches the kernel to the
+    one-sided grouped-map form: no lengths frame crosses Arrow per run —
+    the broadcast value unpickles once per reused Python worker."""
+    empty = pd.DataFrame({"qid": [], "doc": [], "score": []}).astype(
+        {"qid": "object", "doc": "int64", "score": "float64"}
+    )
 
     def kernel(blocks: pd.DataFrame, lengths: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"qid": [], "doc": [], "score": []}).astype(
-            {"qid": "object", "doc": "int64", "score": "float64"}
-        )
         if blocks.empty or lengths.empty:
             return empty
         len_docs = lengths["doc"].to_numpy(dtype=np.int64)
         len_vals = lengths["length"].to_numpy(dtype=np.float64)
         order = np.argsort(len_docs)
-        len_docs, len_vals = len_docs[order], len_vals[order]
+        return _run(blocks, len_docs[order], len_vals[order])
 
+    def kernel_bc(blocks: pd.DataFrame) -> pd.DataFrame:
+        if blocks.empty:
+            return empty
+        len_docs, len_vals = lengths_bc.value
+        return _run(blocks, len_docs, len_vals)
+
+    def _run(blocks: pd.DataFrame, len_docs: np.ndarray,
+             len_vals: np.ndarray) -> pd.DataFrame:
         terms_col = blocks["term"].to_numpy()
         first_all = blocks["first_doc"].to_numpy(dtype=np.int64)
         last_all = blocks["last_doc"].to_numpy(dtype=np.int64)
+        docs_col = blocks["docs"].to_numpy()
+        tfs_col = blocks["tfs"].to_numpy()
         if default_tfn:
             tfn_ub_all = blocks["max_tfn"].to_numpy(dtype=np.float64)
         else:
             t = blocks["max_tf"].to_numpy(dtype=np.int64).astype(np.float64)
             tfn_ub_all = (t * (kk + 1)) / (t + kk * (1 - b + b * t / avgdl))
 
+        # per-bucket term -> block-row indices, built ONCE: replaces a
+        # per-query python membership scan over every block row
+        by_term: dict[str, np.ndarray] = {}
+        order_t = np.argsort(terms_col, kind="stable")
+        sorted_t = terms_col[order_t]
+        bounds = np.nonzero(
+            np.concatenate(([True], sorted_t[1:] != sorted_t[:-1]))
+        )[0]
+        for bi0, bi1 in zip(bounds, np.append(bounds[1:], len(sorted_t))):
+            by_term[sorted_t[bi0]] = order_t[bi0:bi1]
+
         decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        frames = []
+        out_qids: list = []
+        out_docs: list = []
+        out_scores: list = []
         for qid, term_info in query_infos.items():
-            sel = np.array(
-                [t in term_info for t in terms_col], dtype=bool
-            )
-            if not sel.any():
+            hit = [by_term[t] for t in term_info if t in by_term]
+            if not hit:
                 continue
-            idxs = np.nonzero(sel)[0]
+            idxs = np.sort(np.concatenate(hit))
             first, last = first_all[idxs], last_all[idxs]
             w_idf = np.array(
                 [term_info[t][0] * term_info[t][1] for t in terms_col[idxs]],
@@ -553,26 +638,26 @@ def _batch_bucket_kernel(
                 for qi in active:
                     bi = int(idxs[qi])
                     if bi not in decoded:
+                        # tf-normalization is query-INDEPENDENT: compute
+                        # it once at decode (docs, lengths lookup, the
+                        # division) and every query touching this block
+                        # pays only a slice + one multiply — the hot-term
+                        # blocks are shared by most of a 192-query batch
+                        d = decode_doc_block(docs_col[bi]).astype(np.int64)
+                        tt = vbyte_decode(tfs_col[bi]).astype(np.float64)
+                        ln = len_vals[np.searchsorted(len_docs, d)]
                         decoded[bi] = (
-                            decode_doc_block(
-                                blocks["docs"].iloc[bi]
-                            ).astype(np.int64),
-                            vbyte_decode(
-                                blocks["tfs"].iloc[bi]
-                            ).astype(np.float64),
+                            d,
+                            (tt * (kk + 1))
+                            / (tt + kk * (1 - b + b * ln / avgdl)),
                         )
-                    d, t = decoded[bi]
+                    d, tfn = decoded[bi]
                     a = np.searchsorted(d, seg_lo, side="left")
                     z = np.searchsorted(d, seg_hi, side="right")
                     if a == z:
                         continue
-                    dd, tt = d[a:z], t[a:z]
-                    ln = len_vals[np.searchsorted(len_docs, dd)]
-                    contrib = w_idf[qi] * (tt * (kk + 1)) / (
-                        tt + kk * (1 - b + b * ln / avgdl)
-                    )
-                    all_docs.append(dd)
-                    all_contrib.append(contrib)
+                    all_docs.append(d[a:z])
+                    all_contrib.append(w_idf[qi] * tfn[a:z])
                 if not all_docs:
                     continue
                 docs_cat = np.concatenate(all_docs)
@@ -586,16 +671,26 @@ def _batch_bucket_kernel(
                 if len(top_docs) >= k:
                     threshold = top_scores[-1]
             if len(top_docs):
-                frames.append(
-                    pd.DataFrame(
-                        {"qid": qid, "doc": top_docs, "score": top_scores}
-                    )
-                )
-        if not frames:
+                out_qids.append(qid)
+                out_docs.append(top_docs)
+                out_scores.append(top_scores)
+        if not out_docs:
             return empty
-        return pd.concat(frames, ignore_index=True)
+        # ONE frame per bucket call, not one per query — frame
+        # construction was ~25% of kernel time at 192-query batches
+        qid_col = np.repeat(
+            np.array(out_qids, dtype=object),
+            [len(d) for d in out_docs],
+        )
+        return pd.DataFrame(
+            {
+                "qid": qid_col,
+                "doc": np.concatenate(out_docs),
+                "score": np.concatenate(out_scores),
+            }
+        )
 
-    return kernel
+    return kernel_bc if lengths_bc is not None else kernel
 
 
 def wand_batch_topk(
@@ -648,25 +743,38 @@ def wand_batch_topk(
     live_terms = sorted({t for info in query_infos.values() for t in info})
     blocks_src, lengths_src = reader.wand_frames()
     blocks = blocks_src.filter(F.col("term").isin(live_terms))
-    if reader._blocks_cogrp is not None:
-        # resident service mode: a batch's term union touches nearly every
-        # bucket, so the per-run broadcast subquery that prunes the
-        # lengths side costs a whole extra job to save almost nothing —
-        # ship the (cached, co-partitioned, size-guarded) lengths whole
-        lengths = lengths_src
+    if reader._lengths_bc is not None:
+        # resident service mode with broadcast lengths: one-sided
+        # grouped-map over the cached co-partitioned blocks — zero
+        # exchange, zero lengths bytes through Arrow per batch
+        kernel = _batch_bucket_kernel(query_infos, k, b, k1, avgdl,
+                                      default_tfn,
+                                      lengths_bc=reader._lengths_bc)
+        candidates = blocks.groupBy("bucket").applyInPandas(
+            kernel, schema=_BATCH_OUT_SCHEMA
+        )
     else:
-        # cold pruned-scan mode: lengths = one row per DOCUMENT, so at
-        # collection scale the semi-join to candidate buckets is the
-        # difference between reading a slice and reading the collection
-        buckets = blocks.select("bucket").distinct()
-        lengths = lengths_src.join(F.broadcast(buckets), "bucket", "left_semi")
-
-    kernel = _batch_bucket_kernel(query_infos, k, b, k1, avgdl, default_tfn)
-    candidates = (
-        blocks.groupBy("bucket")
-        .cogroup(lengths.groupBy("bucket"))
-        .applyInPandas(kernel, schema=_BATCH_OUT_SCHEMA)
-    )
+        if reader._blocks_cogrp is not None:
+            # resident mode, lengths too big to broadcast: a batch's term
+            # union touches nearly every bucket, so the per-run broadcast
+            # subquery that prunes the lengths side costs a whole extra
+            # job to save almost nothing — ship the cached lengths whole
+            lengths = lengths_src
+        else:
+            # cold pruned-scan mode: lengths = one row per DOCUMENT, so at
+            # collection scale the semi-join to candidate buckets is the
+            # difference between reading a slice and reading the collection
+            buckets = blocks.select("bucket").distinct()
+            lengths = lengths_src.join(
+                F.broadcast(buckets), "bucket", "left_semi"
+            )
+        kernel = _batch_bucket_kernel(query_infos, k, b, k1, avgdl,
+                                      default_tfn)
+        candidates = (
+            blocks.groupBy("bucket")
+            .cogroup(lengths.groupBy("bucket"))
+            .applyInPandas(kernel, schema=_BATCH_OUT_SCHEMA)
+        )
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc").asc()
     )

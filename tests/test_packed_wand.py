@@ -530,15 +530,17 @@ def test_cogroup_cache_identical_and_exchange_free(spark, packed_index):
     reader = PackedReader(spark, packed_index)
     assert reader.enable_cogroup_cache(n_partitions=8)
     assert reader.enable_cogroup_cache()  # idempotent
+    # small corpus -> broadcast-lengths mode: one-sided grouped-map
+    assert reader._lengths_bc is not None
     df = wand_batch_topk(spark, packed_index, batch, k=10, reader=reader)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the cogroup subtree reads the two InMemoryTableScans directly; the
-    # only exchange above them is the tiny per-qid rank shuffle (plans
-    # nested INSIDE InMemoryRelation were paid once at persist time)
-    cogroup_part = plan.split("FlatMapCoGroupsInPandas", 1)[1]
-    cogroup_part = cogroup_part.split("InMemoryRelation")[0]
-    assert "Exchange" not in cogroup_part
-    assert plan.count("InMemoryTableScan") >= 2
+    # the grouped-map subtree reads the cached blocks directly; the only
+    # exchange above the InMemoryRelation is the tiny per-qid rank
+    # shuffle (plans nested INSIDE it were paid once at persist time)
+    gm_part = plan.split("FlatMapGroupsInPandas", 1)[1]
+    gm_part = gm_part.split("InMemoryRelation")[0]
+    assert "Exchange" not in gm_part
+    assert "InMemoryTableScan" in plan
     warm = sorted(
         (r["qid"], r["rank"], r["doc"], round(r["score"], 9))
         for r in df.collect()
@@ -551,8 +553,29 @@ def test_cogroup_cache_identical_and_exchange_free(spark, packed_index):
     assert [(r["doc"], round(r["score"], 9)) for r in hot] == [
         (r["doc"], round(r["score"], 9)) for r in ref
     ]
+    # oversized-lengths fallback: force the co-partitioned cached frame
+    # (cogroup form) and pin identity there too
+    import os
+
+    r2 = PackedReader(spark, packed_index)
+    os.environ["GALAGO_SPARK_LENGTHS_BC_MAX_DOCS"] = "1"
+    try:
+        assert r2.enable_cogroup_cache(n_partitions=8)
+    finally:
+        del os.environ["GALAGO_SPARK_LENGTHS_BC_MAX_DOCS"]
+    assert r2._lengths_bc is None and r2._lengths_cogrp is not None
+    df2 = wand_batch_topk(spark, packed_index, batch, k=10, reader=r2)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    cg = plan2.split("FlatMapCoGroupsInPandas", 1)[1]
+    assert "Exchange" not in cg.split("InMemoryRelation")[0]
+    warm2 = sorted(
+        (r["qid"], r["rank"], r["doc"], round(r["score"], 9))
+        for r in df2.collect()
+    )
+    assert warm2 == cold
     reader._blocks_cogrp.unpersist()
-    reader._lengths_cogrp.unpersist()
+    r2._blocks_cogrp.unpersist()
+    r2._lengths_cogrp.unpersist()
 
 
 def test_cogroup_cache_size_guard(spark, packed_index):
