@@ -211,6 +211,14 @@ def main() -> int:
         qfile_big = os.path.join(tmp, "queries_big.json")
         with open(qfile_big, "w") as f:
             json.dump(_vocab_queries(192), f)
+        # secondary amortization point: the per-JOB fixed cost (plan +
+        # schedule + rank stage, identical at every level) is a constant
+        # a production batch amortizes — 2x the batch shows the efficiency
+        # trend toward the kernel's own scaling without moving the
+        # 192-query headline
+        qfile_2x = os.path.join(tmp, "queries_2x.json")
+        with open(qfile_2x, "w") as f:
+            json.dump(_vocab_queries(384), f)
 
         def prewarm(path: str) -> None:
             # read every corpus byte into the page cache so BOTH levels
@@ -306,6 +314,15 @@ def main() -> int:
                      "--mode", "daat-batch", "--timing",
                      "--repeats", str(args.repeats)]
                 )
+                print(f"batch-search (daat-batch 2x) at local[{cores}] "
+                      f"rep {qrep} ...", file=sys.stderr)
+                sd2 = run_cli(
+                    ["batch-search", "--index", index_dir,
+                     "--queries", qfile_2x,
+                     "--cores", str(cores), "--k", str(args.k),
+                     "--mode", "daat-batch", "--timing",
+                     "--repeats", str(args.repeats)]
+                )
                 print(f"batch-search (daat threaded) at local[{cores}] "
                       f"rep {qrep} ...", file=sys.stderr)
                 st = run_cli(
@@ -316,6 +333,7 @@ def main() -> int:
                 )
                 for key, val in (("batch_search", sp),
                                  ("batch_search_daat", sd),
+                                 ("batch_search_daat_2x", sd2),
                                  ("batch_search_daat_threaded", st)):
                     if (key not in lvl or val["queries_per_sec"]
                             > lvl[key]["queries_per_sec"]):
@@ -352,6 +370,12 @@ def main() -> int:
     dhi = results["levels"][hi]["batch_search_daat"]["queries_per_sec"]
     results["query_daat_scaling_efficiency"] = round((dhi / dlo) / ratio, 4)
     results["query_daat_speedup"] = round(dhi / dlo, 3)
+    d2lo = results["levels"][lo]["batch_search_daat_2x"]["queries_per_sec"]
+    d2hi = results["levels"][hi]["batch_search_daat_2x"]["queries_per_sec"]
+    results["query_daat_2x_scaling_efficiency"] = round(
+        (d2hi / d2lo) / ratio, 4
+    )
+    results["query_daat_2x_speedup"] = round(d2hi / d2lo, 3)
     tlo = results["levels"][lo]["batch_search_daat_threaded"]["queries_per_sec"]
     thi = results["levels"][hi]["batch_search_daat_threaded"]["queries_per_sec"]
     results["query_daat_threaded_scaling_efficiency"] = round(
