@@ -409,3 +409,43 @@ def test_read_corpus_table_formats(spark, monkeypatch):
 
     with pytest.raises(SystemExit, match="iceberg-spark-runtime"):
         _read_corpus_table(BrokenSpark(), "/p", "iceberg")
+
+
+def test_batch_search_daat_batch_cli(tmp_path):
+    """`batch-search --mode daat-batch`: the whole-batch single-job WAND
+    tier end-to-end through the CLI (packed build -> resident cache ->
+    one cogroup/grouped-map job), per-qid top-k identical to per-query
+    `search --wand --scorer bm25`."""
+    idx = str(tmp_path / "idx")
+    _cli(["build", "--input", "synthetic:60", "--index", idx, "--packed",
+          "--cores", "2"])
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps({"queries": [
+        {"number": "q1", "text": "#combine(def return)"},
+        {"number": "q2", "text": "#combine(class def)"},
+    ]}))
+    r = _cli(["batch-search", "--index", idx, "--queries", str(qf),
+              "--mode", "daat-batch", "--timing", "--repeats", "2",
+              "--k", "5", "--cores", "2"])
+    assert r["mode"] == "daat-batch" and r["n_queries"] == 2
+    assert r["result_rows"] == 10 and len(r["run_secs"]) == 2
+    # rank identity per query against the single-query WAND tier
+    out = subprocess.run(
+        [sys.executable, "-m", "galago_git_spark", "batch-search",
+         "--index", idx, "--queries", str(qf), "--mode", "daat-batch",
+         "--k", "5", "--cores", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    got = {}
+    for line in out.stderr.strip().splitlines():
+        p = line.split()
+        if len(p) == 6 and p[1] == "Q0":
+            got.setdefault(p[0], []).append((int(p[3]), int(p[2]),
+                                             round(float(p[4]), 6)))
+    for qnum, qtext in (("q1", "#combine(def return)"),
+                        ("q2", "#combine(class def)")):
+        ref = _cli(["search", "--index", idx, "--wand", "--scorer", "bm25",
+                    "--query", qtext, "--k", "5", "--cores", "2"])
+        want = [(x["rank"], x["doc"], round(x["score"], 6))
+                for x in ref["results"]]
+        assert sorted(got[qnum]) == want, qnum
